@@ -1,0 +1,56 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column statistics + distribution analysis — the engine analogue of the
+  * reference's distribution step (/root/reference/extraction/main.py:270-293)
+  * extended per the north star with min/max/mean/null-rate.
+  *
+  * All single-pass hash aggregates: partial (map-side) + final, one shuffle
+  * keyed by `source`. At 100 TB this is the cheapest possible shape — the
+  * scan dominates and the aggregate state is O(|sources| × |columns|).
+  */
+object StatsOps {
+
+  /** One-pass per-source stats over the token table.
+    *
+    * Numeric care for DuckDB-oracle parity: `avg` is only taken over integer
+    * columns (exact long sum, then one double division — bit-identical in
+    * both engines); no floating-point accumulation order dependence.
+    */
+  def columnStats(tokens: DataFrame): DataFrame =
+    tokens.groupBy("source").agg(
+      count(lit(1)).as("n_rows"),
+      min(col("n_tok")).as("min_n_tok"),
+      max(col("n_tok")).as("max_n_tok"),
+      avg(col("n_tok")).as("avg_n_tok"),
+      sum(col("tokens").isNull.cast("long")).as("null_tokens"),
+      min(col("doc_id")).as("min_doc_id"),
+      max(col("doc_id")).as("max_doc_id"))
+
+  /** Distribution counts: total per source (main.py:276-278 analogue). */
+  def totalsPerSource(tokens: DataFrame): DataFrame =
+    tokens.groupBy("source").agg(count(lit(1)).as("total"))
+
+  /** Per-(source, bucket) histogram of sequence lengths — the analogue of the
+    * reference's per-(type, code-system) counts (main.py:279-292), with
+    * n_tok bucketed by 10.
+    */
+  def lengthHistogram(tokens: DataFrame): DataFrame =
+    tokens.groupBy(col("source"),
+        floor(col("n_tok") / 10.0).cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Exact per-source quantiles of n_tok (linear interpolation — same
+    * algorithm as DuckDB's quantile_cont, so oracle-comparable). The sketch
+    * path for 100 TB is [[graft.functions.KllSketch]]; this exact variant is
+    * the correctness anchor.
+    */
+  def lengthQuantiles(tokens: DataFrame, ps: Seq[Double]): DataFrame = {
+    val aggs = ps.zipWithIndex.map { case (p, i) =>
+      expr(s"percentile(n_tok, $p)").as(s"q$i")
+    }
+    tokens.groupBy("source").agg(aggs.head, aggs.tail: _*)
+  }
+}

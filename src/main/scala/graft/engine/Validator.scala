@@ -1,0 +1,136 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.rules._
+
+/** The validation engine core.
+  *
+  * Design (SURVEY.md §3.1 "Spark equivalent"): one declarative job —
+  *
+  * {{{
+  * scan(tokens) → single codegen pass evaluating ALL row rules
+  *              → explode(filter(array(when(...)))) violation rows
+  *   ∪ broadcast left_anti join (referential rules)
+  *   ∪ two-phase hash aggregate (uniqueness rules)
+  * → dedup/count aggregate → per-source summaries
+  * }}}
+  *
+  * The reference's 4-service HTTP chain (mapper → marshal → blaze → termite,
+  * /root/reference/docker-compose.yml:3-105) collapses into Catalyst
+  * expression evaluation plus one BroadcastExchange. Every row rule is
+  * evaluated in ONE scan (no per-rule passes): at 100 TB the scan dominates,
+  * so rule count must not multiply I/O.
+  */
+object Validator {
+
+  /** Violations from row-level rules: single pass, whole-stage codegen.
+    * Output: (doc_id, rule_id, detail, severity, source).
+    */
+  def rowViolations(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val compiled = rules.map(RuleCompiler.compileRow)
+    val hits = array(compiled.map { r =>
+      when(r.violated, struct(
+        lit(r.id).as("rule_id"),
+        r.detail.as("detail"),
+        lit(r.severity).as("severity")))
+    }: _*)
+    df.select(col("doc_id"), col("source"),
+        filter(hits, h => h.isNotNull).as("hits"))
+      .where(size(col("hits")) > 0)
+      .select(col("doc_id"), explode(col("hits")).as("v"), col("source"))
+      .select(col("doc_id"), col("v.rule_id").as("rule_id"),
+        col("v.detail").as("detail"), col("v.severity").as("severity"),
+        col("source"))
+  }
+
+  /** Referential violations: broadcast hash anti-join against the dimension
+    * (the reference's value-set membership check, SURVEY.md §2 row 10).
+    * The dimension is small by definition (a value set) → broadcast, no
+    * shuffle of the fact table.
+    */
+  def referentialViolations(
+      df: DataFrame, rule: ReferentialRule, dim: DataFrame): DataFrame = {
+    val dimCol = dim.columns.head
+    df.join(broadcast(dim), df(rule.column) === dim(dimCol), "left_anti")
+      .select(col("doc_id"), lit(rule.id).as("rule_id"),
+        concat(lit(s"${rule.column}='"), col(rule.column),
+          lit(s"' not in ${rule.dimension}")).as("detail"),
+        lit(rule.severity).as("severity"), col("source"))
+  }
+
+  /** Uniqueness violations: two-phase hash aggregate on the key.
+    *
+    * Scale note: partial aggregation (map-side combine) collapses duplicate
+    * keys before the exchange, so even a heavily duplicated key ships at most
+    * one partial row per map task. AQE (enabled in [[graft.Sessions]])
+    * re-splits any residual skewed reduce partition. One violation row per
+    * duplicated key (not per duplicate row), matching the reference's
+    * dedup-before-ship shape (IssueSet.py:9-26).
+    */
+  def uniqueViolations(df: DataFrame, rule: UniqueRule): DataFrame =
+    df.groupBy(col(rule.column))
+      .agg(count(lit(1)).as("cnt"), min(col("source")).as("source"))
+      .where(col("cnt") > 1)
+      .select(col(rule.column).cast("string").as("doc_id"),
+        lit(rule.id).as("rule_id"),
+        concat(lit(s"${rule.column} occurs "), col("cnt").cast("string"),
+          lit(" times")).as("detail"),
+        lit(rule.severity).as("severity"), col("source"))
+
+  /** Full rule-set pass → detailed violations
+    * (doc_id, rule_id, detail, severity, source).
+    */
+  def violations(
+      df: DataFrame, ruleSet: RuleSet,
+      dims: Map[String, DataFrame]): DataFrame = {
+    val row = rowViolations(df, ruleSet.rowRules)
+    val refs = ruleSet.referentialRules.map { r =>
+      referentialViolations(df, r, dims(r.dimension))
+    }
+    val uniq = ruleSet.uniqueRules.map(uniqueViolations(df, _))
+    (Seq(row) ++ refs ++ uniq).reduce(_ unionByName _)
+  }
+
+  /** Canonical 3-column violation projection. */
+  def canonical(detailed: DataFrame): DataFrame =
+    detailed.select("doc_id", "rule_id", "detail")
+
+  /** Detail-string generalization before dedup: indices `[k]` → `[*]` and
+    * quoted values `'v'` → `'?'`, the engine analogue of the reference's
+    * location generalization (IssueSet.py:39-40) so per-row specifics don't
+    * split dedup groups.
+    */
+  def generalize(detail: Column): Column =
+    regexp_replace(
+      regexp_replace(detail, "\\[[0-9]+\\]", "[*]"),
+      "'[^']*'", "'?'")
+
+  /** The reference's signature aggregate (IssueSet.py:9-26): dedup + count by
+    * (severity, rule_id, generalized detail). Partial+final hash aggregate;
+    * map-side combine compresses before the exchange exactly like the
+    * reference dedups client-side before shipping the report.
+    */
+  def dedupIssues(detailed: DataFrame): DataFrame =
+    detailed
+      .select(col("severity"), col("rule_id"),
+        generalize(col("detail")).as("detail_generic"))
+      .groupBy("severity", "rule_id", "detail_generic")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-source rule matrix: violation count per (source, rule_id) — the
+    * pass/fail matrix the driver compares (BASELINE.json metric).
+    */
+  def ruleMatrix(detailed: DataFrame): DataFrame =
+    detailed.groupBy("source", "rule_id").agg(count(lit(1)).as("violations"))
+
+  /** Per-source pass/fail summary (SURVEY.md §1.3 "report dict"). */
+  def summary(df: DataFrame, detailed: DataFrame): DataFrame = {
+    val rows = df.groupBy("source").agg(count(lit(1)).as("n_rows"))
+    val viol = detailed.groupBy("source").agg(count(lit(1)).as("nv"))
+    rows.join(viol, Seq("source"), "left")
+      .select(col("source"), col("n_rows"),
+        coalesce(col("nv"), lit(0L)).as("n_violations"),
+        (coalesce(col("nv"), lit(0L)) === 0).as("pass"))
+  }
+}

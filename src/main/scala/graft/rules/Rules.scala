@@ -1,0 +1,210 @@
+package graft.rules
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative rule AST — the Spark-native replacement for the reference's
+  * StructureDefinition profiles (rule sets) + validation_mapping.json routing
+  * (/root/reference/fhir_profiles/FDPG_Einwilligung.json:16-28,
+  * /root/reference/maps/validation_mapping.json).
+  *
+  * Row-level rules compile to Catalyst `Column` predicates evaluated in a
+  * single whole-stage-codegen pass; dataset-level rules (uniqueness,
+  * referential) compile to aggregate / broadcast-join plans in
+  * [[graft.engine.Validator]].
+  */
+sealed trait Rule {
+  def id: String
+  def severity: String
+  /** Restrict the rule to one `source` (rule-set dispatch — the analogue of
+    * profile routing, /root/reference/maps/validation_mapping.json:1-838).
+    * None = applies to every source.
+    */
+  def appliesTo: Option[String]
+}
+
+/** `min: 1` / required-element analogue: column must be non-null
+  * (reference diagnostics "minimum required = 1, but only found 0",
+  * /root/reference/extraction/test/test_profiles.py:35-37).
+  */
+final case class NotNullRule(
+    id: String, column: String,
+    severity: String = "error", appliesTo: Option[String] = None) extends Rule
+
+/** Fixed-value analogue (reference "Value is 'X' but must be 'Y'",
+  * test_profiles.py:206-215) specialized to the north-star invariant
+  * `size(tokens) === n_tok`.
+  */
+final case class LengthConsistencyRule(
+    id: String, arrayColumn: String, lengthColumn: String,
+    severity: String = "error", appliesTo: Option[String] = None) extends Rule
+
+/** Slicing-check analogue (filtered-array cardinality, test_profiles.py:28-39)
+  * specialized to token-vocabulary bounds: every element in [lo, hi).
+  */
+final case class TokenBoundsRule(
+    id: String, arrayColumn: String, lo: Int, hi: Int,
+    severity: String = "error", appliesTo: Option[String] = None) extends Rule
+
+/** Scalar range check (value-range analogue, SURVEY.md §2 row 14). */
+final case class RangeRule(
+    id: String, column: String, lo: Long, hi: Long,
+    severity: String = "error", appliesTo: Option[String] = None) extends Rule
+
+/** Fixed-value check on a scalar column. */
+final case class FixedValueRule(
+    id: String, column: String, expected: String,
+    severity: String = "error", appliesTo: Option[String] = None) extends Rule
+
+/** Value-set membership (reference "not in the value set",
+  * test_profiles.py:183-192): `column` must appear in the dimension named
+  * `dimension` (resolved by the engine, broadcast anti-join).
+  */
+final case class ReferentialRule(
+    id: String, column: String, dimension: String,
+    severity: String = "error", appliesTo: Option[String] = None) extends Rule
+
+/** Uniqueness of a key column (north-star rule over doc_id). */
+final case class UniqueRule(
+    id: String, column: String,
+    severity: String = "error", appliesTo: Option[String] = None) extends Rule
+
+/** A named rule set — the engine analogue of one StructureDefinition. */
+final case class RuleSet(name: String, rules: Seq[Rule]) {
+  def rowRules: Seq[Rule] = rules.filter {
+    case _: NotNullRule | _: LengthConsistencyRule | _: TokenBoundsRule |
+         _: RangeRule | _: FixedValueRule => true
+    case _ => false
+  }
+  def referentialRules: Seq[ReferentialRule] =
+    rules.collect { case r: ReferentialRule => r }
+  def uniqueRules: Seq[UniqueRule] =
+    rules.collect { case r: UniqueRule => r }
+}
+
+object RuleSet {
+  /** The default full rule set over the token table — the engine's analogue
+    * of the reference's per-type profile bundle.
+    */
+  def default(vocab: Int): RuleSet = RuleSet("default", Seq(
+    NotNullRule("not_null_tokens", "tokens"),
+    NotNullRule("not_null_source", "source"),
+    LengthConsistencyRule("len_consistency", "tokens", "n_tok"),
+    TokenBoundsRule("token_bounds", "tokens", 0, vocab),
+    RangeRule("n_tok_range", "n_tok", 1, 1 << 20),
+    ReferentialRule("ref_source", "source", "allowed_sources"),
+    UniqueRule("unique_doc_id", "doc_id")))
+}
+
+/** A compiled row-level rule: `violated` is a Catalyst predicate (true ⇒ the
+  * row violates the rule), `detail` the diagnostics string expression.
+  */
+final case class CompiledRowRule(
+    id: String, severity: String, violated: Column, detail: Column)
+
+object RuleCompiler {
+
+  /** Gate a predicate by the rule's source restriction (rule-set dispatch as
+    * a codegen'd `when`, not a per-source scan).
+    */
+  private def gate(rule: Rule, pred: Column): Column = rule.appliesTo match {
+    case Some(s) => col("source") === lit(s) && pred
+    case None    => pred
+  }
+
+  /** Compile a row-level rule to predicate + detail columns. */
+  def compileRow(rule: Rule): CompiledRowRule = rule match {
+    case NotNullRule(id, c, sev, _) =>
+      CompiledRowRule(id, sev, gate(rule, col(c).isNull),
+        lit(s"$c is null: minimum required = 1, but only found 0"))
+    case LengthConsistencyRule(id, arr, len, sev, _) =>
+      CompiledRowRule(id, sev,
+        gate(rule, col(arr).isNotNull && size(col(arr)) =!= col(len)),
+        concat(lit(s"$len="), col(len).cast("string"),
+          lit(" size="), size(col(arr)).cast("string")))
+    case TokenBoundsRule(id, arr, lo, hi, sev, _) =>
+      CompiledRowRule(id, sev,
+        gate(rule, col(arr).isNotNull &&
+          !forall(col(arr), t => t >= lit(lo) && t < lit(hi))),
+        lit(s"token out of [$lo,$hi)"))
+    case RangeRule(id, c, lo, hi, sev, _) =>
+      CompiledRowRule(id, sev,
+        gate(rule, col(c).isNotNull && (col(c) < lit(lo) || col(c) >= lit(hi))),
+        concat(lit(s"$c="), col(c).cast("string"), lit(s" out of [$lo,$hi)")))
+    case FixedValueRule(id, c, expected, sev, _) =>
+      CompiledRowRule(id, sev,
+        gate(rule, col(c).isNotNull && col(c) =!= lit(expected)),
+        concat(lit("Value is '"), col(c).cast("string"),
+          lit(s"' but must be '$expected'")))
+    case other =>
+      throw new IllegalArgumentException(s"not a row-level rule: $other")
+  }
+}
+
+/** JSON rule-set loader — mirrors the shape of the reference's
+  * validation_mapping.json (source → rule-set routing) plus inline rule
+  * definitions. Parsed with json4s (ships with Spark).
+  *
+  * {{{
+  * { "ruleSets": { "default": [ {"type":"notNull","id":"nn","column":"tokens"}, ... ] },
+  *   "routing":  { "A": "default" },
+  *   "defaultRuleSet": "default" }
+  * }}}
+  */
+object RuleSetLoader {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  final case class Routing(
+      ruleSets: Map[String, RuleSet],
+      routing: Map[String, String],
+      defaultRuleSet: String) {
+    def forSource(source: String): RuleSet =
+      ruleSets(routing.getOrElse(source, defaultRuleSet))
+  }
+
+  private def str(v: JValue, f: String): String =
+    (v \ f) match { case JString(s) => s; case x => x.values.toString }
+  private def strOpt(v: JValue, f: String): Option[String] =
+    (v \ f) match { case JString(s) => Some(s); case _ => None }
+  private def long(v: JValue, f: String, dflt: Long): Long =
+    (v \ f) match { case JInt(i) => i.toLong; case JLong(l) => l; case _ => dflt }
+
+  def parseRule(v: JValue): Rule = {
+    val id = str(v, "id")
+    val sev = strOpt(v, "severity").getOrElse("error")
+    val app = strOpt(v, "appliesTo")
+    str(v, "type") match {
+      case "notNull" => NotNullRule(id, str(v, "column"), sev, app)
+      case "lengthConsistency" =>
+        LengthConsistencyRule(id, str(v, "arrayColumn"), str(v, "lengthColumn"), sev, app)
+      case "tokenBounds" =>
+        TokenBoundsRule(id, str(v, "arrayColumn"),
+          long(v, "lo", 0).toInt, long(v, "hi", Int.MaxValue).toInt, sev, app)
+      case "range" =>
+        RangeRule(id, str(v, "column"), long(v, "lo", Long.MinValue),
+          long(v, "hi", Long.MaxValue), sev, app)
+      case "fixedValue" => FixedValueRule(id, str(v, "column"), str(v, "expected"), sev, app)
+      case "referential" => ReferentialRule(id, str(v, "column"), str(v, "dimension"), sev, app)
+      case "unique" => UniqueRule(id, str(v, "column"), sev, app)
+      case t => throw new IllegalArgumentException(s"unknown rule type: $t")
+    }
+  }
+
+  def parse(json: String): Routing = {
+    val root = JsonMethods.parse(json)
+    val sets = (root \ "ruleSets") match {
+      case JObject(fields) => fields.map { case (name, JArray(rs)) =>
+        name -> RuleSet(name, rs.map(parseRule))
+      case (name, _) => name -> RuleSet(name, Nil)
+      }.toMap
+      case _ => Map.empty[String, RuleSet]
+    }
+    val routing = (root \ "routing") match {
+      case JObject(fields) => fields.collect { case (k, JString(s)) => k -> s }.toMap
+      case _ => Map.empty[String, String]
+    }
+    val dflt = strOpt(root, "defaultRuleSet").getOrElse("default")
+    Routing(sets, routing, dflt)
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Validator
+import graft.model.TokenRow
+import graft.rules._
+
+/** Golden per-rule fixtures — the engine analogue of the reference's
+  * pass/fail fixture pairs with exact expected diagnostics
+  * (/root/reference/extraction/test/test_profiles.py).
+  */
+class ValidatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    TokenRow("ok-1", Array(1, 2, 3), 3, "A"),          // passes everything
+    TokenRow("len-1", Array(1, 2), 3, "A"),            // length mismatch
+    TokenRow("null-1", null, 2, "N"),                  // null tokens
+    TokenRow("bound-1", Array(1, 50000), 2, "R"),      // token out of vocab
+    TokenRow("dup-1", Array(7), 1, "A"),               // duplicate pair…
+    TokenRow("dup-1", Array(8), 1, "N"),
+    TokenRow("ref-1", Array(9), 1, "bogus")            // unknown source
+  ).toDF
+
+  private val ruleSet = RuleSet.default(50000)
+  private def dims = Map("allowed_sources" ->
+    graft.sources.TokenTable.allowedDim(spark))
+
+  test("full rule set emits exactly the expected violation rows") {
+    val got = Validator.canonical(
+        Validator.violations(fixture, ruleSet, dims))
+      .as[(String, String, String)].collect().toSet
+    val expected = Set(
+      ("len-1", "len_consistency", "n_tok=3 size=2"),
+      ("null-1", "not_null_tokens",
+        "tokens is null: minimum required = 1, but only found 0"),
+      ("bound-1", "token_bounds", "token out of [0,50000)"),
+      ("dup-1", "unique_doc_id", "doc_id occurs 2 times"),
+      ("ref-1", "ref_source", "source='bogus' not in allowed_sources"))
+    assert(got === expected)
+  }
+
+  test("per-source summary marks only clean sources as pass") {
+    val v = Validator.violations(fixture, ruleSet, dims)
+    // every source in the fixture has at least one violation
+    val byName = Validator.summary(fixture, v).collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(byName === Map("A" -> false, "N" -> false, "R" -> false,
+      "bogus" -> false))
+    val clean = Seq(TokenRow("c1", Array(1), 1, "A")).toDF
+    val vc = Validator.violations(clean, ruleSet, dims)
+    val sc = Validator.summary(clean, vc).collect().head
+    assert(sc.getString(0) == "A" && sc.getLong(1) == 1L &&
+      sc.getLong(2) == 0L && sc.getBoolean(3))
+  }
+
+  test("violations are invariant under repartitioning and row order") {
+    val base = Validator.canonical(
+      Validator.violations(fixture, ruleSet, dims)).collect().toSet
+    val shuffled = fixture.repartition(7).sortWithinPartitions(rand(seed = 1))
+    val got = Validator.canonical(
+      Validator.violations(shuffled, ruleSet, dims)).collect().toSet
+    assert(got === base)
+  }
+
+  test("dedup aggregate counts and generalizes like IssueSet") {
+    val v = Validator.violations(fixture, ruleSet, dims)
+    val d = Validator.dedupIssues(v).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(d.contains(("ref_source", "source='?' not in allowed_sources", 1L)))
+    assert(d.exists { case (id, _, _) => id == "len_consistency" })
+  }
+
+  test("rule-set dispatch: appliesTo restricts a rule to one source") {
+    val rs = RuleSet("routed", Seq(
+      LengthConsistencyRule("len_a_only", "tokens", "n_tok",
+        appliesTo = Some("A"))))
+    val df = Seq(
+      TokenRow("a", Array(1), 2, "A"),   // violates, source matches
+      TokenRow("n", Array(1), 2, "N")    // violates but not routed
+    ).toDF
+    val got = Validator.rowViolations(df, rs.rowRules)
+      .select("doc_id").as[String].collect().toSet
+    assert(got === Set("a"))
+  }
+
+  test("rule-set JSON loader round-trips routing and rules") {
+    val json =
+      """{"ruleSets": {"default": [
+        |   {"type":"notNull","id":"nn","column":"tokens"},
+        |   {"type":"lengthConsistency","id":"lc","arrayColumn":"tokens","lengthColumn":"n_tok"},
+        |   {"type":"tokenBounds","id":"tb","arrayColumn":"tokens","lo":0,"hi":100},
+        |   {"type":"referential","id":"rf","column":"source","dimension":"allowed_sources"},
+        |   {"type":"unique","id":"uq","column":"doc_id"}],
+        |  "strict": [{"type":"range","id":"rg","column":"n_tok","lo":1,"hi":10,"severity":"warning"}]},
+        | "routing": {"A": "strict"},
+        | "defaultRuleSet": "default"}""".stripMargin
+    val routing = RuleSetLoader.parse(json)
+    assert(routing.forSource("A").name == "strict")
+    assert(routing.forSource("Z").name == "default")
+    assert(routing.ruleSets("default").rules.size == 5)
+    assert(routing.ruleSets("strict").rules.head ==
+      RangeRule("rg", "n_tok", 1, 10, "warning", None))
+  }
+}
