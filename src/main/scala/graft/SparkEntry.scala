@@ -68,6 +68,59 @@ object Queries {
     StatsOps.lengthQuantiles(tok(spark, dir), Seq(0.25, 0.5, 0.75, 0.95))
       .orderBy("source")
 
+  /** Baseline snapshot for drift: the deterministic half of the table with
+    * even l_orderkey (a stand-in for "previous Iceberg snapshot").
+    */
+  private def baselineTok(spark: SparkSession, dir: String): DataFrame = {
+    val li = TokenTable.lineitem(spark, dir).where(col("l_orderkey") % 2 === 0)
+    TokenTable.fromLineitem(li)
+  }
+
+  def vDriftExact(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.Drift.exactQuantileDrift(
+        tok(spark, dir), baselineTok(spark, dir), "n_tok",
+        Seq(0.5, 0.95), threshold = 1.0)
+      .orderBy("source")
+
+  def vDriftSketch(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.Drift.sketchQuantileDrift(
+        tok(spark, dir), baselineTok(spark, dir), "n_tok",
+        k = 200, Seq(0.5, 0.95), threshold = 2.0)
+      .orderBy("source")
+
+  def vTokenHistDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.Drift.tokenHistogramDrift(
+        tok(spark, dir), baselineTok(spark, dir), bucketSize = 1000)
+      .orderBy("source")
+
+  def rSeveritySorted(spark: SparkSession, dir: String): DataFrame = {
+    val d = Validator.dedupIssues(detailed(spark, dir))
+    d.withColumn("severity_rank",
+        graft.report.ReportOps.severityRank(col("severity")))
+      .orderBy("severity_rank", "rule_id", "detail_generic")
+  }
+
+  private val fdpgRules = Seq("len_consistency", "token_bounds", "not_null_tokens")
+
+  def rFdpgSplit(spark: SparkSession, dir: String): DataFrame = {
+    val v = detailed(spark, dir)
+    val f = graft.report.ReportOps.fdpgViolations(v, fdpgRules)
+      .select(lit("fdpg").as("category"))
+    val g = graft.report.ReportOps.generalViolations(v, fdpgRules)
+      .select(lit("general").as("category"))
+    f.unionByName(g).groupBy("category").agg(count(lit(1)).as("n"))
+      .orderBy("category")
+  }
+
+  def rLengthMismatch(spark: SparkSession, dir: String): DataFrame =
+    graft.report.ReportOps.extractLengthMismatch(detailed(spark, dir))
+      .orderBy("doc_id", "declared", "actual")
+
+  def rHistPivot(spark: SparkSession, dir: String): DataFrame =
+    graft.report.ReportOps.pivotHistogram(
+        StatsOps.lengthHistogram(tok(spark, dir)), (0L to 6L))
+      .orderBy("source")
+
   def vResumePending(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val completed = Seq("A", "N").toDF("completed")
@@ -87,6 +140,13 @@ object Queries {
     "v_histogram" -> (vHistogram _),
     "v_quantiles" -> (vQuantiles _),
     "v_resume_pending" -> (vResumePending _),
+    "v_drift_exact" -> (vDriftExact _),
+    "v_drift_sketch" -> (vDriftSketch _),
+    "v_token_hist_drift" -> (vTokenHistDrift _),
+    "r_severity_sorted" -> (rSeveritySorted _),
+    "r_fdpg_split" -> (rFdpgSplit _),
+    "r_length_mismatch" -> (rLengthMismatch _),
+    "r_hist_pivot" -> (rHistPivot _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -100,14 +160,14 @@ object Queries {
     s"""$cte, v AS (
        |  SELECT doc_id, 'not_null_tokens' AS rule_id,
        |         'tokens is null: minimum required = 1, but only found 0' AS detail,
-       |         'error' AS severity, source
+       |         'fatal' AS severity, source
        |  FROM tok WHERE tokens_null
        |  UNION ALL
        |  SELECT doc_id, 'len_consistency',
        |         'n_tok=' || n_tok || ' size=' || n_true, 'error', source
        |  FROM tok WHERE NOT tokens_null AND n_tok <> n_true
        |  UNION ALL
-       |  SELECT doc_id, 'token_bounds', 'token out of [0,50000)', 'error', source
+       |  SELECT doc_id, 'token_bounds', 'token out of [0,50000)', 'warning', source
        |  FROM tok WHERE NOT tokens_null AND key % 109 = 0
        |  UNION ALL
        |  SELECT doc_id, 'ref_source',
@@ -115,7 +175,7 @@ object Queries {
        |  FROM tok WHERE source NOT IN ('A','N','R')
        |  UNION ALL
        |  SELECT doc_id, 'unique_doc_id',
-       |         'doc_id occurs ' || cnt || ' times', 'error', minsrc
+       |         'doc_id occurs ' || cnt || ' times', 'warning', minsrc
        |  FROM (SELECT doc_id, count(*) AS cnt, min(source) AS minsrc
        |        FROM tok GROUP BY doc_id) WHERE cnt > 1
        |)""".stripMargin
@@ -177,5 +237,90 @@ object Queries {
       s"""WITH $cte
          |SELECT DISTINCT source FROM tok
          |WHERE source NOT IN ('A','N') ORDER BY source""".stripMargin,
+
+    "v_drift_exact" ->
+      s"""WITH $cte,
+         |cur AS (SELECT source, avg(n_tok) AS a,
+         |               quantile_cont(n_tok, 0.5) AS q0,
+         |               quantile_cont(n_tok, 0.95) AS q1
+         |        FROM tok GROUP BY source),
+         |base AS (SELECT source, avg(n_tok) AS a,
+         |               quantile_cont(n_tok, 0.5) AS q0,
+         |               quantile_cont(n_tok, 0.95) AS q1
+         |        FROM tok WHERE okey % 2 = 0 GROUP BY source)
+         |SELECT cur.source, abs(cur.a - base.a) AS delta_avg,
+         |       abs(cur.q0 - base.q0) AS delta_q0,
+         |       abs(cur.q1 - base.q1) AS delta_q1,
+         |       greatest(abs(cur.q0 - base.q0), abs(cur.q1 - base.q1)) > 1.0 AS drifted
+         |FROM cur FULL OUTER JOIN base USING (source)
+         |ORDER BY source""".stripMargin,
+
+    "v_token_hist_drift" ->
+      s"""WITH $cte,
+         |ex AS (
+         |  SELECT source, okey,
+         |         CASE WHEN j = 0 AND key % 109 = 0 THEN 50000 + key % 7
+         |              ELSE (key*31 + j*17) % 50000 END AS t
+         |  FROM (SELECT *, unnest(generate_series(0, CAST(n_true AS BIGINT) - 1)) AS j
+         |        FROM tok WHERE NOT tokens_null)
+         |),
+         |cur AS (SELECT source, CAST(floor(t/1000.0) AS BIGINT) AS bucket,
+         |               count(*) AS cur_cnt FROM ex GROUP BY 1, 2),
+         |base AS (SELECT source, CAST(floor(t/1000.0) AS BIGINT) AS bucket,
+         |               count(*) AS base_cnt FROM ex WHERE okey % 2 = 0 GROUP BY 1, 2),
+         |ct AS (SELECT source, CAST(sum(cur_cnt) AS BIGINT) AS cur_tot FROM cur GROUP BY 1),
+         |bt AS (SELECT source, CAST(sum(base_cnt) AS BIGINT) AS base_tot FROM base GROUP BY 1)
+         |SELECT j.source,
+         |       CAST(CAST(sum(abs(coalesce(j.cur_cnt, 0) * bt.base_tot -
+         |                 coalesce(j.base_cnt, 0) * ct.cur_tot)) AS BIGINT) AS DOUBLE)
+         |         / CAST(max(ct.cur_tot) * max(bt.base_tot) AS DOUBLE) AS l1_distance
+         |FROM (SELECT coalesce(cur.source, base.source) AS source,
+         |             coalesce(cur.bucket, base.bucket) AS bucket,
+         |             cur.cur_cnt, base.base_cnt
+         |      FROM cur FULL OUTER JOIN base
+         |        ON cur.source = base.source AND cur.bucket = base.bucket) j
+         |JOIN ct ON j.source = ct.source
+         |JOIN bt ON j.source = bt.source
+         |GROUP BY j.source ORDER BY j.source""".stripMargin,
+
+    "r_severity_sorted" ->
+      s"""WITH $violationsCte
+         |SELECT severity, rule_id,
+         |       regexp_replace(regexp_replace(detail, '\\[[0-9]+\\]', '[*]', 'g'),
+         |                      '''[^'']*''', '''?''', 'g') AS detail_generic,
+         |       count(*) AS cnt,
+         |       CASE severity WHEN 'fatal' THEN 0 WHEN 'error' THEN 1
+         |            WHEN 'warning' THEN 2 ELSE 3 END AS severity_rank
+         |FROM v GROUP BY 1, 2, 3
+         |ORDER BY severity_rank, rule_id, detail_generic""".stripMargin,
+
+    "r_fdpg_split" ->
+      s"""WITH $violationsCte
+         |SELECT CASE WHEN rule_id IN ('len_consistency','token_bounds','not_null_tokens')
+         |            THEN 'fdpg' ELSE 'general' END AS category,
+         |       count(*) AS n
+         |FROM v GROUP BY 1 ORDER BY category""".stripMargin,
+
+    "r_length_mismatch" ->
+      s"""WITH $violationsCte
+         |SELECT doc_id,
+         |       CAST(regexp_extract(detail, 'n_tok=([0-9]+) size=([0-9]+)', 1) AS INT) AS declared,
+         |       CAST(regexp_extract(detail, 'n_tok=([0-9]+) size=([0-9]+)', 2) AS INT) AS actual
+         |FROM v WHERE rule_id = 'len_consistency'
+         |ORDER BY doc_id, declared, actual""".stripMargin,
+
+    "r_hist_pivot" ->
+      s"""WITH $cte,
+         |h AS (SELECT source, CAST(floor(n_tok / 10.0) AS BIGINT) AS bucket,
+         |             count(*) AS cnt FROM tok GROUP BY 1, 2)
+         |SELECT source,
+         |       coalesce(CAST(max(CASE WHEN bucket = 0 THEN cnt END) AS VARCHAR), '--') AS b0,
+         |       coalesce(CAST(max(CASE WHEN bucket = 1 THEN cnt END) AS VARCHAR), '--') AS b1,
+         |       coalesce(CAST(max(CASE WHEN bucket = 2 THEN cnt END) AS VARCHAR), '--') AS b2,
+         |       coalesce(CAST(max(CASE WHEN bucket = 3 THEN cnt END) AS VARCHAR), '--') AS b3,
+         |       coalesce(CAST(max(CASE WHEN bucket = 4 THEN cnt END) AS VARCHAR), '--') AS b4,
+         |       coalesce(CAST(max(CASE WHEN bucket = 5 THEN cnt END) AS VARCHAR), '--') AS b5,
+         |       coalesce(CAST(max(CASE WHEN bucket = 6 THEN cnt END) AS VARCHAR), '--') AS b6
+         |FROM h GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -1,0 +1,109 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.ManifestEntry
+import graft.rules.RuleSet
+
+/** Checkpoint manifest + resumable validation runs (north-star resumability;
+  * the reference reruns from scratch each time and only timestamps its
+  * report, /root/reference/extraction/main.py:296-304).
+  *
+  * The manifest is an append-only parquet table of [[ManifestEntry]] rows
+  * keyed by (partition, snapshot_id) — the sandbox stand-in for an Iceberg
+  * snapshot/partition manifest (no Iceberg jars in this environment; the
+  * `snapshot_id` column + append-only parquet emulate the semantics behind
+  * the same interface, SURVEY.md §7.4).
+  *
+  * Resume = anti-join the table's partitions against completed manifest
+  * entries; the re-run job filters to pending partitions only (partition
+  * pruning when the table is stored partitioned by `source`), so
+  * re-submission never re-validates finished partitions.
+  */
+object Checkpoint {
+
+  def read(spark: SparkSession, manifestPath: String): DataFrame = {
+    import spark.implicits._
+    val p = new java.io.File(manifestPath)
+    if (p.exists()) spark.read.parquet(manifestPath)
+    else spark.emptyDataset[ManifestEntry].toDF()
+  }
+
+  def completedPartitions(
+      spark: SparkSession, manifestPath: String, snapshotId: Long): Seq[String] =
+    read(spark, manifestPath)
+      .where(col("snapshot_id") === snapshotId && col("status") === "ok")
+      .select("partition").distinct()
+      .collect().map(_.getString(0)).toSeq
+
+  def append(spark: SparkSession, manifestPath: String,
+      entries: Seq[ManifestEntry]): Unit = {
+    import spark.implicits._
+    entries.toDS().toDF()
+      .write.mode(SaveMode.Append).parquet(manifestPath)
+  }
+}
+
+/** One resumable full-rule-set run over a token table. */
+object ValidationRunner {
+
+  final case class RunResult(
+      validatedPartitions: Seq[String],
+      skippedPartitions: Seq[String],
+      summary: DataFrame)
+
+  /** Validate all partitions not yet marked ok in the manifest at this
+    * snapshot, append their metrics, and return the per-partition summary.
+    *
+    * Error containment (reference behavior, main.py:225-263): a partition
+    * whose validation throws is recorded in the manifest with
+    * status="error" and the run continues.
+    */
+  def runResumable(
+      spark: SparkSession,
+      tokens: DataFrame,
+      ruleSet: RuleSet,
+      dims: Map[String, DataFrame],
+      manifestPath: String,
+      snapshotId: Long): RunResult = {
+
+    val all = tokens.select("source").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val done = Checkpoint.completedPartitions(spark, manifestPath, snapshotId)
+    val pending = all.filterNot(done.toSet)
+
+    if (pending.isEmpty) {
+      val summary = Checkpoint.read(spark, manifestPath)
+        .where(col("snapshot_id") === snapshotId)
+        .select(col("partition").as("source"), col("n_rows"),
+          col("n_violations"), (col("n_violations") === 0).as("pass"))
+      return RunResult(Nil, all, summary)
+    }
+
+    // one job over all pending partitions (not a per-partition loop):
+    // the filter prunes partitions at the scan when stored by source
+    val slice = tokens.where(col("source").isin(pending: _*))
+    val t0 = System.nanoTime()
+    val detailed = Validator.violations(slice, ruleSet, dims)
+    val summary = Validator.summary(slice, detailed).cache()
+    val rows = try summary.collect() catch {
+      case e: Throwable =>
+        Checkpoint.append(spark, manifestPath, pending.map(p =>
+          ManifestEntry(p, snapshotId, s"error:${e.getClass.getSimpleName}",
+            0L, 0L, 0L)))
+        throw e
+    }
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val entries = rows.map { r =>
+      ManifestEntry(r.getString(0), snapshotId, "ok",
+        r.getLong(1), r.getLong(2), wallMs)
+    }.toSeq
+    // sources with zero rows in this slice (possible under routing) still
+    // need manifest rows so resume terminates
+    val seen = entries.map(_.partition).toSet
+    val empty = pending.filterNot(seen).map(p =>
+      ManifestEntry(p, snapshotId, "ok", 0L, 0L, wallMs))
+    Checkpoint.append(spark, manifestPath, entries ++ empty)
+    RunResult(pending, done, summary)
+  }
+}

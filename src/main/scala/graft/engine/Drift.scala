@@ -1,0 +1,100 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.KllFunctions
+
+/** Distribution-drift checks: compare the current snapshot's per-source
+  * distributions against a baseline snapshot (the formalization of the
+  * reference's manual cross-run count comparison,
+  * /root/reference/extraction/main.py:270-293 + report_visualizer.py:21-57).
+  *
+  * Two paths:
+  *  - [[exactQuantileDrift]]: exact `percentile` — the correctness anchor,
+  *    DuckDB-oracle-comparable, viable at test scale.
+  *  - [[sketchQuantileDrift]]: deterministic KLL sketch
+  *    ([[graft.functions.KllQuantiles]]) — the 10^12-row path; partial
+  *    sketches merge at the exchange, no sort.
+  *  - [[tokenHistogramDrift]]: L1 distance between normalized per-source
+  *    token-bucket histograms (map-side explode + two-phase agg).
+  */
+object Drift {
+
+  /** Exact per-source quantile + mean drift between two snapshots of the
+    * same schema. Output: one row per source present in either snapshot.
+    */
+  def exactQuantileDrift(
+      current: DataFrame, baseline: DataFrame, column: String,
+      ps: Seq[Double], threshold: Double): DataFrame = {
+    def aggs(df: DataFrame, pfx: String): DataFrame = {
+      val qs = ps.zipWithIndex.map { case (p, i) =>
+        expr(s"percentile($column, $p)").as(s"${pfx}_q$i")
+      }
+      df.groupBy("source").agg(avg(col(column)).as(s"${pfx}_avg"), qs: _*)
+    }
+    val cur = aggs(current, "cur")
+    val base = aggs(baseline, "base")
+    val joined = cur.join(base, Seq("source"), "full_outer")
+    val deltas = ps.indices.map(i =>
+      abs(col(s"cur_q$i") - col(s"base_q$i")).as(s"delta_q$i"))
+    val maxDelta = ps.indices.map(i => abs(col(s"cur_q$i") - col(s"base_q$i")))
+      .reduce((a, b) => greatest(a, b))
+    joined.select(
+      col("source") +:
+        abs(col("cur_avg") - col("base_avg")).as("delta_avg") +:
+        deltas :+
+        (maxDelta > threshold).as("drifted"): _*)
+  }
+
+  /** KLL-sketch variant — same shape, approximate quantiles, mergeable
+    * partials (the shape that scales; correctness anchored by the exact
+    * variant in tests).
+    */
+  def sketchQuantileDrift(
+      current: DataFrame, baseline: DataFrame, column: String,
+      k: Int, ps: Seq[Double], threshold: Double): DataFrame = {
+    def aggs(df: DataFrame, pfx: String): DataFrame =
+      df.groupBy("source")
+        .agg(KllFunctions.kllQuantiles(col(column), k, ps).as(s"${pfx}_qs"))
+    val joined = aggs(current, "cur")
+      .join(aggs(baseline, "base"), Seq("source"), "full_outer")
+    val deltas = ps.indices.map(i =>
+      abs(col("cur_qs")(i) - col("base_qs")(i)))
+    joined.select(
+      col("source"),
+      deltas.reduce((a, b) => greatest(a, b)).as("max_delta"),
+      (deltas.reduce((a, b) => greatest(a, b)) > threshold).as("drifted"))
+  }
+
+  /** L1 distance between normalized per-source histograms of token values
+    * (bucketed by `bucketSize`). The explode is map-local; the aggregate is
+    * two-phase keyed by (source, bucket) then (source) — no row-level join.
+    */
+  def tokenHistogramDrift(
+      current: DataFrame, baseline: DataFrame, bucketSize: Int): DataFrame = {
+    def hist(df: DataFrame, cName: String): DataFrame =
+      df.where(col("tokens").isNotNull)
+        .select(col("source"),
+          explode(col("tokens")).as("t"))
+        .groupBy(col("source"),
+          floor(col("t") / bucketSize.toDouble).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as(cName))
+    val cur = hist(current, "cur_cnt")
+    val base = hist(baseline, "base_cnt")
+    val curTot = cur.groupBy("source").agg(sum("cur_cnt").as("cur_tot"))
+    val baseTot = base.groupBy("source").agg(sum("base_cnt").as("base_tot"))
+    // exact integer arithmetic throughout, one final division: the result is
+    // bit-identical regardless of aggregation order (and engine) — summing
+    // double ratios would be order-dependent
+    cur.join(base, Seq("source", "bucket"), "full_outer")
+      .join(curTot, Seq("source"), "left")
+      .join(baseTot, Seq("source"), "left")
+      .select(col("source"), col("cur_tot"), col("base_tot"),
+        abs(coalesce(col("cur_cnt"), lit(0L)) * col("base_tot") -
+          coalesce(col("base_cnt"), lit(0L)) * col("cur_tot")).as("num"))
+      .groupBy("source")
+      .agg((sum(col("num")).cast("double") /
+        (max(col("cur_tot")) * max(col("base_tot"))).cast("double"))
+        .as("l1_distance"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.report
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Report-side relational post-processing — the engine re-expression of
+  * /root/reference/latex_report/report_visualizer.py (SURVEY.md §2.4):
+  * location filters/rewrites, the FDPG semi-join, set difference, custom
+  * severity ordering, severity classification, and string extraction.
+  * All tiny declarative transforms over the violations/summary tables.
+  */
+object ReportOps {
+
+  /** Keep violations whose detail contains the target fragment
+    * (report_visualizer.py:267-279 `filter_issues_by_location`).
+    */
+  def filterByDetail(violations: DataFrame, fragment: String): DataFrame =
+    violations.where(col("detail").contains(fragment))
+
+  /** Rewrite generic prefixes, the analogue of
+    * `Bundle.entry[i].resource.ofType(T)` → `T`
+    * (report_visualizer.py:325-340): strips a leading `column=` prefix.
+    */
+  def rewriteDetail(violations: DataFrame): DataFrame =
+    violations.withColumn("detail",
+      regexp_replace(col("detail"), "^[a-z_]+=", ""))
+
+  /** FDPG-style semi-join: keep violations whose rule_id is in the querying
+    * metadata set (report_visualizer.py:364-395 — path matching collapses to
+    * rule-id membership in the flat rule model). Broadcast by construction.
+    */
+  def fdpgViolations(violations: DataFrame, metadataRules: Seq[String]): DataFrame =
+    violations.where(col("rule_id").isin(metadataRules: _*))
+
+  /** Set difference: general issues = all − fdpg
+    * (report_visualizer.py:294-295).
+    */
+  def generalViolations(violations: DataFrame, metadataRules: Seq[String]): DataFrame =
+    violations.where(!col("rule_id").isin(metadataRules: _*))
+
+  /** Custom severity order fatal < error < warning < other
+    * (report_visualizer.py:472-491).
+    */
+  def severityRank(severity: Column): Column =
+    when(severity === "fatal", 0)
+      .when(severity === "error", 1)
+      .when(severity === "warning", 2)
+      .otherwise(3)
+
+  /** Severity → display color classification (report_visualizer.py:493-502). */
+  def severityColor(severity: Column): Column =
+    when(severity === "fatal", "red")
+      .when(severity === "error", "red")
+      .when(severity === "warning", "orange")
+      .otherwise("gray")
+
+  /** Extract expected/actual pairs from length-consistency diagnostics —
+    * the analogue of parsing "Value is 'a' but must be 'e'"
+    * (report_visualizer.py:259-263).
+    */
+  def extractLengthMismatch(violations: DataFrame): DataFrame =
+    violations.where(col("rule_id") === "len_consistency")
+      .select(col("doc_id"),
+        regexp_extract(col("detail"), "n_tok=([0-9]+) size=([0-9]+)", 1)
+          .cast("int").as("declared"),
+        regexp_extract(col("detail"), "n_tok=([0-9]+) size=([0-9]+)", 2)
+          .cast("int").as("actual"))
+
+  /** Distribution pivot (report_visualizer.py:21-57): per-source histogram
+    * rows widened to one row per source with `--` for missing buckets.
+    */
+  def pivotHistogram(hist: DataFrame, buckets: Seq[Long]): DataFrame = {
+    val wide = hist.groupBy("source")
+      .pivot("bucket", buckets.map(_.asInstanceOf[AnyRef]))
+      .agg(first(col("cnt")))
+    val cols = col("source") +: buckets.map(b =>
+      coalesce(col(s"$b").cast("string"), lit("--")).as(s"b$b"))
+    wide.select(cols: _*)
+  }
+}

@@ -87,13 +87,13 @@ object RuleSet {
     * of the reference's per-type profile bundle.
     */
   def default(vocab: Int): RuleSet = RuleSet("default", Seq(
-    NotNullRule("not_null_tokens", "tokens"),
-    NotNullRule("not_null_source", "source"),
+    NotNullRule("not_null_tokens", "tokens", severity = "fatal"),
+    NotNullRule("not_null_source", "source", severity = "fatal"),
     LengthConsistencyRule("len_consistency", "tokens", "n_tok"),
-    TokenBoundsRule("token_bounds", "tokens", 0, vocab),
-    RangeRule("n_tok_range", "n_tok", 1, 1 << 20),
+    TokenBoundsRule("token_bounds", "tokens", 0, vocab, severity = "warning"),
+    RangeRule("n_tok_range", "n_tok", 1, 1 << 20, severity = "warning"),
     ReferentialRule("ref_source", "source", "allowed_sources"),
-    UniqueRule("unique_doc_id", "doc_id")))
+    UniqueRule("unique_doc_id", "doc_id", severity = "warning")))
 }
 
 /** A compiled row-level rule: `violated` is a Catalyst predicate (true ⇒ the

@@ -36,8 +36,13 @@ object TokenTable {
   /** The token view. `snapshotFilter` carves deterministic sub-snapshots out
     * of the same table (used by the drift rule's baseline).
     */
-  def tokens(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = lineitem(spark, sfDir)
+  def tokens(spark: SparkSession, sfDir: String): DataFrame =
+    fromLineitem(lineitem(spark, sfDir))
+
+  /** Token view over an arbitrary lineitem slice (drift baselines carve
+    * deterministic sub-snapshots by filtering the scan first).
+    */
+  def fromLineitem(li: DataFrame): DataFrame = {
     val key = (li("l_orderkey") * 7 + li("l_linenumber")).cast("bigint")
     val nTrue = li("l_quantity").cast("int")
     li.select(
