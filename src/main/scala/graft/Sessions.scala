@@ -16,6 +16,20 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // local test tables are tens of MB; the 128 MB default packs the whole
+      // scan into 1-2 splits and caps scan parallelism at 2 regardless of
+      // cores. 8 MB/1 MB yields ~cores splits here; on a real cluster with
+      // TB-scale inputs the defaults are correct and these should be unset
+      // (overridable via env for experiments).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "8m"))
+      .config("spark.sql.files.openCostInBytes", "1m")
+      // same story post-shuffle: AQE's 64 MB advisory size coalesces these
+      // small shuffles down to 1-2 reducers and serializes reduce stages;
+      // 8 MB keeps ~cores reducers busy at test scale (default is right at
+      // cluster scale)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES", "8m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

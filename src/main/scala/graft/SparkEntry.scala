@@ -71,10 +71,8 @@ object Queries {
   /** Baseline snapshot for drift: the deterministic half of the table with
     * even l_orderkey (a stand-in for "previous Iceberg snapshot").
     */
-  private def baselineTok(spark: SparkSession, dir: String): DataFrame = {
-    val li = TokenTable.lineitem(spark, dir).where(col("l_orderkey") % 2 === 0)
-    TokenTable.fromLineitem(li)
-  }
+  private def baselineTok(spark: SparkSession, dir: String): DataFrame =
+    TokenTable.tokensBaseline(spark, dir)
 
   def vDriftExact(spark: SparkSession, dir: String): DataFrame =
     graft.engine.Drift.exactQuantileDrift(
@@ -129,6 +127,65 @@ object Queries {
       .select("source").orderBy("source")
   }
 
+  // ---- training-data pipeline queries (documents / embeddings) -------------
+
+  import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  def dTokcount(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tokenCounts(docs(spark, dir)).orderBy("doc_id")
+
+  def dQuality(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qualityScores(docs(spark, dir)).orderBy("doc_id")
+
+  def dLangidAccuracy(spark: SparkSession, dir: String): DataFrame =
+    TextOps.langId(docs(spark, dir))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
+  def dFingerprintDups(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.exactDuplicates(docs(spark, dir)).orderBy("doc_id")
+
+  def dMinhashDups(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.minHashDuplicates(docs(spark, dir), threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  def dSimhashDups(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.simHashDuplicates(docs(spark, dir), maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
+  private def queryVec(spark: SparkSession, dir: String): Seq[Double] =
+    embs(spark, dir).where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .first().getSeq[Double](0).toSeq
+
+  def eKnnBrute(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.bruteForceTopK(embs(spark, dir), queryVec(spark, dir), 10)
+      .select("vec_id").orderBy("vec_id")
+
+  def eAnnLsh(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.lshTopK(embs(spark, dir), queryVec(spark, dir), 10)
+      .select("vec_id", "cos").orderBy("vec_id")
+
+  def eAnnIvf(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.ivfTopK(embs(spark, dir), queryVec(spark, dir), 10)
+      .select("vec_id", "cos").orderBy("vec_id")
+
+  def eNearDup(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.embeddingNearDuplicates(embs(spark, dir), nPlanes = 8,
+        threshold = 0.4)
+      .orderBy("vec_a", "vec_b")
+
+  def mMediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.decodeFeatures(spark,
+        MultimodalOps.asMediaTable(docs(spark, dir)))
+      .toDF().select("doc_id", "n_bytes", "width", "height")
+      .orderBy("doc_id")
+
   // ---- registry ------------------------------------------------------------
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -147,6 +204,17 @@ object Queries {
     "r_fdpg_split" -> (rFdpgSplit _),
     "r_length_mismatch" -> (rLengthMismatch _),
     "r_hist_pivot" -> (rHistPivot _),
+    "d_tokcount" -> (dTokcount _),
+    "d_quality" -> (dQuality _),
+    "d_langid_accuracy" -> (dLangidAccuracy _),
+    "d_fingerprint_dups" -> (dFingerprintDups _),
+    "d_minhash_dups" -> (dMinhashDups _),
+    "d_simhash_dups" -> (dSimhashDups _),
+    "e_knn_brute" -> (eKnnBrute _),
+    "e_ann_lsh" -> (eAnnLsh _),
+    "e_ann_ivf" -> (eAnnIvf _),
+    "e_near_dup" -> (eNearDup _),
+    "m_media_features" -> (mMediaFeatures _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -322,5 +390,81 @@ object Queries {
          |       coalesce(CAST(max(CASE WHEN bucket = 5 THEN cnt END) AS VARCHAR), '--') AS b5,
          |       coalesce(CAST(max(CASE WHEN bucket = 6 THEN cnt END) AS VARCHAR), '--') AS b6
          |FROM h GROUP BY source ORDER BY source""".stripMargin,
+
+    // word list shared by the document oracles (split on ' ', drop empties)
+    "d_tokcount" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INT) AS n_words,
+        |       CAST(length(text) AS INT) AS n_chars,
+        |       CAST(ceil(length(replace(text, ' ', '')) / 4.0) AS BIGINT) AS n_subword_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_words,
+        |         CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS INT) AS n_distinct_words
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_distinct_words,
+        |       CASE WHEN n_words > 0
+        |            THEN CAST(n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |            ELSE 0.0 END AS ttr,
+        |       least(1.0, CAST(n_words AS DOUBLE) / 100.0) AS len_score,
+        |       least(1.0, CAST(n_words AS DOUBLE) / 100.0) *
+        |         (CASE WHEN n_words > 0
+        |               THEN CAST(n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |               ELSE 0.0 END) AS quality
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "d_langid_accuracy" ->
+      """WITH p AS (
+        |  SELECT lang,
+        |    CASE
+        |      WHEN (CAST(contains(t, ' the ') AS INT) + CAST(contains(t, ' a ') AS INT) + CAST(contains(t, ' is ') AS INT)) >=
+        |           (CAST(contains(t, ' der ') AS INT) + CAST(contains(t, ' und ') AS INT) + CAST(contains(t, ' ist ') AS INT))
+        |       AND (CAST(contains(t, ' the ') AS INT) + CAST(contains(t, ' a ') AS INT) + CAST(contains(t, ' is ') AS INT)) >=
+        |           (CAST(contains(t, ' le ') AS INT) + CAST(contains(t, ' et ') AS INT) + CAST(contains(t, ' est ') AS INT))
+        |       AND (CAST(contains(t, ' the ') AS INT) + CAST(contains(t, ' a ') AS INT) + CAST(contains(t, ' is ') AS INT)) > 0
+        |      THEN 'en'
+        |      WHEN (CAST(contains(t, ' der ') AS INT) + CAST(contains(t, ' und ') AS INT) + CAST(contains(t, ' ist ') AS INT)) >=
+        |           (CAST(contains(t, ' le ') AS INT) + CAST(contains(t, ' et ') AS INT) + CAST(contains(t, ' est ') AS INT))
+        |       AND (CAST(contains(t, ' der ') AS INT) + CAST(contains(t, ' und ') AS INT) + CAST(contains(t, ' ist ') AS INT)) > 0
+        |      THEN 'de'
+        |      WHEN (CAST(contains(t, ' le ') AS INT) + CAST(contains(t, ' et ') AS INT) + CAST(contains(t, ' est ') AS INT)) > 0
+        |      THEN 'fr'
+        |      ELSE 'unknown' END AS predicted
+        |  FROM (SELECT lang, ' ' || text || ' ' AS t FROM documents))
+        |SELECT lang, predicted, count(*) AS n FROM p
+        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    "d_fingerprint_dups" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(list_sort(list_distinct(
+        |           list_filter(string_split(text, ' '), w -> w <> ''))), ' ')) AS fp
+        |  FROM documents),
+        |g AS (SELECT fp, count(*) AS group_size, min(doc_id) AS keeper
+        |      FROM fp GROUP BY fp HAVING count(*) > 1)
+        |SELECT f.doc_id, f.fp, g.group_size, g.keeper,
+        |       f.doc_id = g.keeper AS keep
+        |FROM fp f JOIN g USING (fp) ORDER BY f.doc_id""".stripMargin,
+
+    "e_knn_brute" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id FROM (
+        |  SELECT vec_id,
+        |         list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)) /
+        |         (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |          sqrt(list_dot_product((SELECT qe FROM q), (SELECT qe FROM q)))) AS cos
+        |  FROM embeddings ORDER BY cos DESC, vec_id LIMIT 10)
+        |ORDER BY vec_id""".stripMargin,
+
+    "m_media_features" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS INT) AS n_bytes,
+        |       CAST(16 + length(text) % 64 AS INT) AS width,
+        |       CAST(16 + (length(text) // 64) % 64 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

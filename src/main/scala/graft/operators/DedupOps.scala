@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for a training-data pipeline:
+  *
+  *  - [[exactDuplicates]] — hash-groupBy on a canonical fingerprint.
+  *  - [[minHashCandidates]]/[[minHashDuplicates]] — MinHash + LSH banding:
+  *    shingle → k minhashes → band keys → shuffle on band key → candidate
+  *    pairs → exact Jaccard verify. The scale path: candidate generation is
+  *    one shuffle on the band key; no all-pairs join ever materializes.
+  *  - [[simHash]]/[[simHashDuplicates]] — 64-bit SimHash with banded
+  *    Hamming-distance candidate buckets.
+  *  - [[ngramJaccardPairs]] — exact n-gram Jaccard for a candidate pair set.
+  *  - [[embeddingNearDuplicates]] — cosine near-dup via hyperplane-LSH
+  *    buckets + exact verify (see also [[SimilarityOps]]).
+  *
+  * Everything is DataFrame expressions; hashes are xxhash64 (Spark-native,
+  * codegen'd, deterministic).
+  */
+object DedupOps {
+
+  // ---- exact -----------------------------------------------------------
+
+  /** Exact duplicate groups by fingerprint; keeper = min(doc_id).
+    * Two-phase hash aggregate; at scale the fingerprint groupBy is the only
+    * shuffle and partial aggregation collapses singletons map-side.
+    */
+  def exactDuplicates(docs: DataFrame): DataFrame = {
+    val fp = TextOps.fingerprints(docs)
+    val groups = fp.groupBy("fp")
+      .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("keeper"))
+      .where(col("group_size") > 1)
+    fp.join(groups, Seq("fp"), "inner")
+      .select(col("doc_id"), col("fp"), col("group_size"), col("keeper"),
+        (col("doc_id") === col("keeper")).as("keep"))
+  }
+
+  // ---- MinHash + LSH ----------------------------------------------------
+
+  /** Word w-shingles of a text column as an array of strings. */
+  def shingles(text: Column, w: Int): Column = {
+    val ws = TextOps.words(text)
+    when(size(ws) >= w,
+      transform(sequence(lit(0), size(ws) - w),
+        i => concat_ws(" ", slice(ws, i + 1, lit(w)))))
+      .otherwise(array(concat_ws(" ", ws)))
+  }
+
+  /** k minhash values per doc as k columns `m0..m{k-1}`.
+    *
+    * Shape matters: explode shingles to rows, hash with k codegen'd
+    * xxhash64 columns, take per-doc `min`s in one hash aggregate. This stays
+    * inside whole-stage codegen end to end and the partial aggregation
+    * collapses each doc's shingles map-side before the exchange — unlike the
+    * "array of lambdas" formulation (transform/array_min are
+    * CodegenFallback; measured 16× slower interpreted).
+    */
+  def minHashSignatures(docs: DataFrame, w: Int, k: Int): DataFrame = {
+    val exploded = docs.select(col("doc_id"),
+      explode(array_distinct(shingles(col("text"), w))).as("sh"))
+    val mins = (0 until k).map(i =>
+      min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
+    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: docs → (band_id, band_key, doc_id); docs sharing a band
+    * key are candidates. bands × rowsPerBand = k.
+    */
+  def minHashBands(
+      docs: DataFrame, w: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = minHashSignatures(docs, w, bands * rowsPerBand)
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_id"), xxhash64(cols: _*).as("band_key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+  }
+
+  /** Candidate pairs (doc_id < doc_id_2) from shared LSH buckets — a
+    * self-join on (band_id, band_key), i.e. one shuffle keyed by bucket,
+    * deduped across bands.
+    */
+  def minHashCandidates(
+      docs: DataFrame, w: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val b = minHashBands(docs, w, bands, rowsPerBand)
+    val l = b.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
+    val r = b.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("band_id", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact w-shingle Jaccard for given pairs (verify step after LSH). */
+  def ngramJaccardPairs(
+      docs: DataFrame, pairs: DataFrame, w: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      array_distinct(shingles(col("text"), w)).as("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** MinHash near-duplicates: LSH candidates verified by exact Jaccard ≥
+    * threshold.
+    */
+  def minHashDuplicates(
+      docs: DataFrame, w: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame =
+    ngramJaccardPairs(docs, minHashCandidates(docs, w, bands, rowsPerBand), w)
+      .where(col("jaccard") >= threshold)
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** 64-bit SimHash over word hashes: bit b is 1 iff the sum of (+1/-1)
+    * contributions of word-hash bit b is positive. Expressed as one explode
+    * + 64 conditional sums (single aggregation pass, codegen'd).
+    */
+  def simHash(docs: DataFrame): DataFrame = {
+    val exploded = docs.select(col("doc_id"),
+      explode(array_distinct(TextOps.words(col("text")))).as("word"))
+      .select(col("doc_id"), xxhash64(col("word")).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$b")
+    }
+    val agg = exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: bucket by each of four 16-bit chunks
+    * (any pair within Hamming distance 3 of 64 bits shares at least one
+    * exact chunk by pigeonhole), verify Hamming ≤ maxHamming via bit_count.
+    */
+  def simHashDuplicates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val s = simHash(docs)
+    val chunks = s.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk_id"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)
+            .as("chunk_key"))): _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"),
+        col("ch.chunk_id"), col("ch.chunk_key"))
+    val l = chunks.select(col("chunk_id"), col("chunk_key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val r = chunks.select(col("chunk_id"), col("chunk_key"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    l.join(r, Seq("chunk_id", "chunk_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // ---- embedding near-dup -------------------------------------------------
+
+  /** Cosine near-duplicates via deterministic hyperplane LSH (see
+    * [[SimilarityOps.hyperplaneSignature]]) + exact cosine verify.
+    */
+  def embeddingNearDuplicates(
+      embeddings: DataFrame, nPlanes: Int = 16, threshold: Double = 0.95): DataFrame = {
+    val sig = embeddings.select(col("vec_id"), col("embedding"),
+      SimilarityOps.hyperplaneSignature(col("embedding"), nPlanes).as("sig"))
+    val l = sig.select(col("sig"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val r = sig.select(col("sig"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    l.join(r, Seq("sig"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        SimilarityOps.cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns with typed metadata; decode / feature-extraction runs as
+  * a partition-local batch transform.
+  *
+  * The actual media decode is STUBBED (no image/audio libraries in this
+  * container): [[stubDecode]] derives deterministic fake dimensions/features
+  * from the bytes. Everything Spark-side is real — schema, batching
+  * (mapPartitions = one decoder init per partition, amortized like a Pandas
+  * UDF batch), partitioning, and the column contract — so a real decoder
+  * drops into [[stubDecode]] unchanged.
+  */
+object MultimodalOps {
+
+  /** The typed record for a decoded media asset. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      feat: Array[Float])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("media_type", StringType, nullable = false)))
+
+  /** Wrap the documents table as a fake media table: text bytes stand in
+    * for an encoded image payload.
+    */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      lit("image/stub").as("media_type"))
+
+  /** STUB decoder — replace with a real codec. Deterministic: dimensions
+    * and features are pure functions of the payload bytes.
+    */
+  def stubDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    // ??? real decode goes here; deterministic fake below
+    val n = payload.length
+    val width = 16 + (n % 64)
+    val height = 16 + ((n / 64) % 64)
+    val feat = Array.tabulate(8) { i =>
+      var acc = 0L
+      var j = i
+      while (j < n) { acc += (payload(j) & 0xFF).toLong * (j + 1); j += 8 }
+      (acc % 1000).toFloat / 1000.0f
+    }
+    (width, height, feat)
+  }
+
+  /** Decode + feature-extract over the media table. One decoder per
+    * partition (mapPartitions), rows streamed — the Scala analogue of a
+    * Pandas-UDF batch loop; at scale the input should be repartitioned so
+    * each task holds O(100 MB) of payloads.
+    */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder init would happen here
+        it.map { case (id, payload) =>
+          val bytes = if (payload == null) Array.empty[Byte] else payload
+          val (w, h, feat) = stubDecode(bytes)
+          MediaFeatures(id, bytes.length, w, h, feat)
+        }
+      }
+  }
+
+  /** Frame-sampling plumbing for video-like payloads: split the payload into
+    * fixed-size "frames" and emit every `stride`-th, each with its index —
+    * the explode shape a real frame sampler produces.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    media.select(col("doc_id"),
+        posexplode(split(col("payload").cast("string"),
+          s"(?<=\\G.{$frameBytes})")).as(Seq("frame_idx", "frame")))
+      .where(col("frame_idx") % stride === 0 && col("frame") =!= "")
+      .select(col("doc_id"), col("frame_idx"),
+        col("frame").cast("binary").as("frame_payload"))
+}

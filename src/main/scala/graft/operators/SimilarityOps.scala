@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  *
+  *  - [[bruteForceTopK]] — exact cosine top-k: one scan, dot products in a
+  *    codegen'd higher-order expression, `ORDER BY … LIMIT k` (Spark plans
+  *    TakeOrderedAndProject — a per-partition heap + driver merge, NOT a
+  *    full sort/shuffle).
+  *  - [[lshTopK]] — hyperplane-LSH bucketed ANN: probe only vectors whose
+  *    signature is within `probeHamming` of the query's; at 100 TB the
+  *    bucket filter prunes the scan to a tiny candidate slice.
+  *  - [[ivfTopK]] — IVF-style: coarse centroids (a deterministic sample),
+  *    vectors assigned to nearest centroid once (broadcast join), queries
+  *    probe the nearest `nProbe` centroid lists.
+  *
+  * Deterministic hyperplanes: plane p's component j = a hash-derived value
+  * in [-1, 1) — no RNG state, reproducible across runs and engines.
+  */
+object SimilarityOps {
+
+  /** Left-fold dot product of two double arrays (deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    val den = norm(ad) * norm(bd)
+    when(den > 0, dot(ad, bd) / den).otherwise(lit(0.0))
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * derived from xxhash64(plane, j).
+    */
+  private def planeComponent(plane: Column, j: Column): Column =
+    (xxhash64(plane, j).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Sign-bit signature of `v` against `nPlanes` hyperplanes, packed into a
+    * long. Codegen'd higher-order expressions; no UDF, no RNG.
+    */
+  def hyperplaneSignature(v: Column, nPlanes: Int): Column = {
+    val vd = v.cast("array<double>")
+    val bits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vd, sequence(lit(0), size(vd) - 1),
+          (x, j) => x * planeComponent(lit(p), j)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Exact top-k by cosine against one query vector. */
+  def bruteForceTopK(
+      embeddings: DataFrame, query: Seq[Double], k: Int): DataFrame = {
+    val q = lit(query.toArray)
+    embeddings.select(col("vec_id"),
+        cosine(col("embedding"), q).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** ANN: restrict to vectors whose LSH signature is within `probeHamming`
+    * bits of the query signature, then exact cosine on the survivors.
+    */
+  def lshTopK(
+      embeddings: DataFrame, query: Seq[Double], k: Int,
+      nPlanes: Int = 16, probeHamming: Int = 4): DataFrame = {
+    val q = lit(query.toArray)
+    val withSig = embeddings.select(col("vec_id"), col("embedding"),
+      hyperplaneSignature(col("embedding"), nPlanes).as("sig"))
+    val qSig = hyperplaneSignature(q, nPlanes)
+    withSig
+      .where(bit_count(col("sig").bitwiseXOR(qSig)) <= probeHamming)
+      .select(col("vec_id"), cosine(col("embedding"), q).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF index: assign every vector to its nearest centroid (centroids =
+    * the `nCentroids` lowest vec_ids — a deterministic coarse sample; a
+    * real deployment would k-means them). Returns (vec_id, centroid_id).
+    * The assignment is a broadcast join: |centroids| ≪ |vectors|.
+    */
+  def ivfAssign(embeddings: DataFrame, nCentroids: Int): DataFrame = {
+    val centroids = embeddings.orderBy("vec_id").limit(nCentroids)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid"))
+    embeddings.crossJoin(broadcast(centroids))
+      .select(col("vec_id"),
+        col("centroid_id"),
+        cosine(col("embedding"), col("centroid")).as("sim"))
+      .withColumn("rn", expr(
+        "row_number() over (partition by vec_id order by sim desc, centroid_id)"))
+      .where(col("rn") === 1)
+      .select("vec_id", "centroid_id")
+  }
+
+  /** IVF query: probe the `nProbe` centroids nearest the query, exact
+    * cosine within their lists only.
+    */
+  def ivfTopK(
+      embeddings: DataFrame, query: Seq[Double], k: Int,
+      nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val q = lit(query.toArray)
+    val assign = ivfAssign(embeddings, nCentroids)
+    val centroids = embeddings.orderBy("vec_id").limit(nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    val probed = centroids
+      .select(col("centroid_id"), cosine(col("centroid"), q).as("sim"))
+      .orderBy(col("sim").desc, col("centroid_id"))
+      .limit(nProbe)
+      .select("centroid_id")
+    embeddings.join(assign, Seq("vec_id"))
+      .join(broadcast(probed), Seq("centroid_id"), "left_semi")
+      .select(col("vec_id"), cosine(col("embedding"), q).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the `documents`
+  * table `(doc_id, text, lang, source, n_chars)`: token counting, quality
+  * scoring, language-ID heuristic, document fingerprinting.
+  *
+  * All pure `functions._` expressions (whole-stage codegen, no UDFs): a
+  * 100 TB corpus pass stays scan-dominated with zero extra shuffles for the
+  * per-document metrics (shuffles only where grouping is semantic, e.g.
+  * fingerprint dedup groups).
+  */
+object TextOps {
+
+  /** Whitespace word list, empty-token free (portable semantics: split on
+    * single space + drop empties — identical in DuckDB via list_filter).
+    */
+  def words(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  /** Token counting: whitespace words + a BPE-ish subword estimate
+    * (ceil(chars-without-spaces / 4) — the common ~4-chars/token rule).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val chars = length(col("text"))
+    val spaces = chars - length(regexp_replace(col("text"), " ", ""))
+    docs.select(
+      col("doc_id"),
+      size(words(col("text"))).as("n_words"),
+      chars.as("n_chars"),
+      ceil((chars - spaces).cast("double") / 4.0).cast("bigint")
+        .as("n_subword_est"))
+  }
+
+  /** Quality scoring: lexical diversity + length band, deterministic
+    * arithmetic only (single divisions of exact ints → engine-portable).
+    */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val nWords = size(ws).cast("double")
+    val nDistinct = size(array_distinct(ws)).cast("double")
+    val ttr = when(nWords > 0, nDistinct / nWords).otherwise(0.0)
+    val lenScore = least(lit(1.0), nWords / 100.0)
+    docs.select(
+      col("doc_id"),
+      size(ws).as("n_words"),
+      size(array_distinct(ws)).as("n_distinct_words"),
+      ttr.as("ttr"),
+      lenScore.as("len_score"),
+      (lenScore * ttr).as("quality"))
+  }
+
+  /** Language-ID heuristic: stopword-marker votes. Deliberately simple and
+    * deterministic (an n-gram heuristic, not a model) so the oracle can
+    * recompute it; emits the predicted language per document.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = concat(lit(" "), col("text"), lit(" "))
+    val en = t.contains(" the ").cast("int") + t.contains(" a ").cast("int") +
+      t.contains(" is ").cast("int")
+    val de = t.contains(" der ").cast("int") + t.contains(" und ").cast("int") +
+      t.contains(" ist ").cast("int")
+    val fr = t.contains(" le ").cast("int") + t.contains(" et ").cast("int") +
+      t.contains(" est ").cast("int")
+    docs.select(col("doc_id"), col("lang"),
+      when(en >= de && en >= fr && en > 0, "en")
+        .when(de >= fr && de > 0, "de")
+        .when(fr > 0, "fr")
+        .otherwise("unknown").as("predicted"))
+  }
+
+  /** Document fingerprint: md5 of the sorted distinct word set — the
+    * canonical-form fingerprint used for exact near-order-insensitive dedup
+    * (a deterministic stand-in for a rolling content hash).
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
+
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+}

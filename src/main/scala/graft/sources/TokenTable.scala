@@ -36,13 +36,84 @@ object TokenTable {
   /** The token view. `snapshotFilter` carves deterministic sub-snapshots out
     * of the same table (used by the drift rule's baseline).
     */
+  /** The engine's input table. The derivation from lineitem is test
+    * scaffolding; the engine proper validates a STORED token table (the
+    * north-star input is an Iceberg table of pre-tokenized sequences). So:
+    * materialize the derived view once per (sfDir, snapshot) into a local
+    * parquet table partitioned by `source`, and serve reads from it — the
+    * realistic shape: vectorized columnar scan, partition pruning on
+    * `source`, tokens read (not recomputed) by every downstream plan.
+    */
   def tokens(spark: SparkSession, sfDir: String): DataFrame =
+    materialized(spark, sfDir, "full")
+
+  /** Deterministic baseline snapshot (even l_orderkey) for drift checks. */
+  def tokensBaseline(spark: SparkSession, sfDir: String): DataFrame =
+    materialized(spark, sfDir, "even")
+
+  private val cacheBase =
+    sys.env.getOrElse("GRAFT_TOK_CACHE", "/tmp/graft_tok_cache")
+
+  def materialized(spark: SparkSession, sfDir: String, variant: String): DataFrame = synchronized {
+    val dir = new java.io.File(
+      s"$cacheBase/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_$variant")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val li0 = lineitem(spark, sfDir)
+      val li = if (variant == "even") li0.where(li0("l_orderkey") % 2 === 0)
+               else li0
+      write(fromLineitem(li), dir.toString)
+    }
+    spark.read.parquet(dir.toString)
+  }
+
+  /** Cache writer: fixed 32-way layout with small parquet row groups.
+    * Scan parallelism is bounded by ROW GROUPS, not byte-range splits — a
+    * cache written by a low-core session as 4 × 1-row-group files capped
+    * every later scan at 4 tasks regardless of requested cores.
+    */
+  private def write(df: DataFrame, dir: String): Unit =
+    df.repartition(32)
+      .write.mode("overwrite")
+      .option("parquet.block.size", (8L * 1024 * 1024).toString)
+      .partitionBy("source")
+      .parquet(dir)
+
+  /** Unmaterialized derivation (tests / one-shot pipelines). */
+  def tokensDerived(spark: SparkSession, sfDir: String): DataFrame =
     fromLineitem(lineitem(spark, sfDir))
+
+  /** K-times scaled token table for scaling-efficiency runs: replica r
+    * offsets l_orderkey by r·10⁷, so doc_ids stay distinct across replicas
+    * and every injected-violation congruence class reappears at the same
+    * rate — same workload character, K× the volume. Materialized once.
+    */
+  def tokensScaled(spark: SparkSession, sfDir: String, k: Int): DataFrame = synchronized {
+    val dir = new java.io.File(
+      s"$cacheBase/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_x$k")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val li = lineitem(spark, sfDir)
+      val replicas = spark.range(k).toDF("r")
+      val scaled = li.crossJoin(replicas)
+        .withColumn("l_orderkey",
+          li("l_orderkey") + org.apache.spark.sql.functions.col("r") * 10000000L)
+        .drop("r")
+      write(fromLineitem(scaled), dir.toString)
+    }
+    spark.read.parquet(dir.toString)
+  }
 
   /** Token view over an arbitrary lineitem slice (drift baselines carve
     * deterministic sub-snapshots by filtering the scan first).
     */
-  def fromLineitem(li: DataFrame): DataFrame = {
+  def fromLineitem(liRaw: DataFrame): DataFrame = {
+    // The driver's sf files are single-row-group parquet → a 1-task scan.
+    // The token derivation below is higher-order-function work (no codegen),
+    // so spread it across the cluster first. Real deployments read an
+    // already-partitioned token table and skip this (and the scan has many
+    // row groups, so the guard keeps this a no-op there).
+    val target = liRaw.sparkSession.sparkContext.defaultParallelism
+    val li = if (liRaw.rdd.getNumPartitions < target)
+      liRaw.repartition(target) else liRaw
     val key = (li("l_orderkey") * 7 + li("l_linenumber")).cast("bigint")
     val nTrue = li("l_quantity").cast("int")
     li.select(

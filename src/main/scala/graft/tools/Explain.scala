@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Sessions
+import graft.engine.Validator
+import graft.rules.RuleSet
+import graft.sources.TokenTable
+
+/** Plan inspection / micro-profiling harness: times the building blocks of
+  * the flagship pass separately and prints formatted plans, so shuffle or
+  * codegen regressions are visible (run: `sbt "runMain graft.tools.Explain"`).
+  */
+object Explain {
+  def timed(name: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val n = f
+    println(f"[explain] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Sessions.local(cpus, "graft-explain")
+    val dims = Map("allowed_sources" -> TokenTable.allowedDim(spark))
+    val ruleSet = RuleSet.default(TokenTable.Vocab)
+
+    def tok = TokenTable.tokens(spark, sfDir)
+
+    timed("scan+count")(tok.count())
+    timed("tokens_matxn")(tok.agg(sum(size(col("tokens")))).collect()
+      .head.getLong(0))
+    timed("preds_only")(tok.where(size(col("tokens")) =!= col("n_tok") ||
+      !forall(col("tokens"), t => t >= 0 && t < 50000)).count())
+    timed("row_rules")(Validator.rowViolations(tok, ruleSet.rowRules).count())
+    timed("referential")(Validator.referentialViolations(
+      tok, ruleSet.referentialRules.head, dims("allowed_sources")).count())
+    timed("unique")(Validator.uniqueViolations(tok, ruleSet.uniqueRules.head).count())
+    timed("full_detailed")(Validator.violations(tok, ruleSet, dims).count())
+    timed("dedup")(Validator.dedupIssues(
+      Validator.violations(tok, ruleSet, dims)).count())
+    timed("summary")(Validator.summary(tok,
+      Validator.violations(tok, ruleSet, dims)).count())
+
+    if (args.contains("--scaled")) {
+      val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "16").toInt
+      val stok = TokenTable.tokensScaled(spark, sfDir, scale)
+      val sbase = TokenTable.tokensBaseline(spark, sfDir)
+      println(s"[explain] scan splits: ${stok.rdd.getNumPartitions}")
+      timed("x_scan")(stok.count())
+      timed("x_rowrules")(Validator.rowViolations(stok, ruleSet.rowRules).count())
+      timed("x_rowrules2")(Validator.rowViolations(stok, ruleSet.rowRules).count())
+      timed("x_rowrules3")(Validator.rowViolations(stok, ruleSet.rowRules).count())
+      timed("x_unique")(Validator.uniqueViolations(stok, ruleSet.uniqueRules.head).count())
+      timed("x_referential")(Validator.referentialViolations(
+        stok, ruleSet.referentialRules.head, dims("allowed_sources")).count())
+      timed("x_dedup")({
+        Validator.dedupIssues(Validator.violations(stok, ruleSet, dims)).collect(); 1L })
+      timed("x_stats")({ graft.engine.StatsOps.columnStats(stok).collect(); 1L })
+      timed("x_stats2")({ graft.engine.StatsOps.columnStats(stok).collect(); 1L })
+      timed("x_stats3")({ graft.engine.StatsOps.columnStats(stok).collect(); 1L })
+      timed("x_drift")({ graft.engine.Drift.sketchQuantileDrift(
+        stok, sbase, "n_tok", 200, Seq(0.5, 0.95), 2.0).collect(); 1L })
+    }
+    if (args.contains("--minhash")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      timed("mh_bands")(graft.operators.DedupOps
+        .minHashBands(docs, 3, 4, 4).count())
+      timed("mh_candidates")(graft.operators.DedupOps
+        .minHashCandidates(docs).count())
+      timed("mh_full")(graft.operators.DedupOps
+        .minHashDuplicates(docs, threshold = 0.5).count())
+      graft.operators.DedupOps.minHashBands(docs, 3, 4, 4)
+        .groupBy("band_id", "band_key").count()
+        .orderBy(org.apache.spark.sql.functions.desc("count"))
+        .show(10)
+    }
+    if (args.contains("--plans")) {
+      Validator.violations(tok, ruleSet, dims).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox", "en", "s1", 19L),
+    (2L, "le chat et le chien", "fr", "s1", 19L),
+    (3L, "fox brown quick the", "en", "s2", 19L), // same word set as 1
+    (4L, "", "en", "s2", 0L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("token counts") {
+    val got = TextOps.tokenCounts(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 4, 2L -> 5, 3L -> 4, 4L -> 0))
+  }
+
+  test("quality: ttr = distinct/total") {
+    val r = TextOps.qualityScores(docs).where($"doc_id" === 2).collect().head
+    assert(r.getAs[Int]("n_words") === 5)
+    assert(r.getAs[Int]("n_distinct_words") === 4) // 'le' twice
+    assert(math.abs(r.getAs[Double]("ttr") - 0.8) < 1e-12)
+  }
+
+  test("langId votes: en beats fr on markers") {
+    val got = TextOps.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) === "en")   // contains ' the '? padded text has ' the '
+    assert(got(2L) === "fr")   // ' le ' + ' et '
+    assert(got(4L) === "unknown")
+  }
+
+  test("fingerprint is word-order insensitive") {
+    val fp = TextOps.fingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) === fp(3L))
+    assert(fp(1L) !== fp(2L))
+  }
+}
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a b c d e f g h i j"),
+    (2L, "a b c d e f g h i j"),          // exact dup of 1
+    (3L, "a b c d e f g h i k"),          // near dup (9/11 shingle overlap)
+    (4L, "z y x w v u t s r q"),          // unrelated
+    (5L, "m n o p q r s t u v")
+  ).toDF("doc_id", "text")
+
+  test("exact duplicates: same-word-set docs grouped, keeper = min id") {
+    val got = DedupOps.exactDuplicates(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("keeper"),
+        r.getAs[Boolean]("keep"))).toSet
+    assert(got === Set((1L, 1L, true), (2L, 1L, false)))
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated") {
+    val pairs = DedupOps.minHashDuplicates(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b) === Set(1L, 4L) })
+  }
+
+  test("jaccard values are exact") {
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val j = DedupOps.ngramJaccardPairs(docs, pairs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) === 1.0)
+    assert(j((1L, 4L)) === 0.0)
+  }
+
+  test("simhash: identical docs collide; hamming grows with difference") {
+    val s = DedupOps.simHash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(1L) === s(2L))
+    val dups = DedupOps.simHashDuplicates(docs, maxHamming = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(dups.contains((1L, 2L)))
+  }
+}
+
+class SimilarityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),
+    (3L, Array(0.0f, 0.0f, 1.0f), 2),
+    (4L, Array(-1.0f, 0.0f, 0.0f), 3)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute-force top-k ranks by cosine") {
+    val got = SimilarityOps.bruteForceTopK(embs, Seq(1.0, 0.0, 0.0), 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got === Seq(0L, 1L, 2L) || got === Seq(0L, 1L, 3L)) // 2/3 tie at 0
+  }
+
+  test("cosine is exact on unit vectors") {
+    val c = embs.select(
+      SimilarityOps.cosine(col("embedding"),
+        lit(Array(1.0, 0.0, 0.0))).as("c"))
+      .orderBy(desc("c")).as[Double].collect()
+    assert(math.abs(c.head - 1.0) < 1e-12)
+    assert(math.abs(c.last - (-1.0)) < 1e-12)
+  }
+
+  test("lsh top-k keeps the true nearest neighbour in its probe set") {
+    val got = SimilarityOps.lshTopK(embs, Seq(1.0, 0.0, 0.0), 2,
+      nPlanes = 8, probeHamming = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.contains(0L))
+  }
+
+  test("ivf assigns every vector and probes nearest lists") {
+    val assign = SimilarityOps.ivfAssign(embs, 2)
+    assert(assign.count() === 5)
+    val got = SimilarityOps.ivfTopK(embs, Seq(1.0, 0.0, 0.0), 2,
+      nCentroids = 2, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.contains(0L))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("media decode plumbing: schema + deterministic stub features") {
+    val docs = Seq((1L, "hello world", "en", "s", 11L),
+      (2L, "abc", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = MultimodalOps.asMediaTable(docs)
+    assert(media.schema.fieldNames.toSeq ===
+      Seq("doc_id", "payload", "media_type"))
+    val feats = MultimodalOps.decodeFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(1L).n_bytes === 11)
+    assert(feats(1L).width === 16 + 11 % 64)
+    assert(feats(1L).feat.length === 8)
+    // deterministic: same payload → same features
+    val again = MultimodalOps.decodeFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f.feat.toSeq).toMap
+    assert(again(1L) === feats(1L).feat.toSeq)
+  }
+
+  test("frame sampling emits every stride-th fixed-size frame") {
+    val docs = Seq((1L, "aaaabbbbccccdddd", "en", "s", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val frames = MultimodalOps.sampleFrames(
+        MultimodalOps.asMediaTable(docs), frameBytes = 4, stride = 2)
+      .collect().map(r => (r.getInt(1), new String(r.getAs[Array[Byte]](2))))
+    assert(frames.toSeq === Seq((0, "aaaa"), (2, "cccc")))
+  }
+}
