@@ -127,6 +127,67 @@ object Queries {
       .select("source").orderBy("source")
   }
 
+  // ---- lifecycle / containment / streaming / ingestion ---------------------
+
+  /** Adaptive fallback (#39): 'ZZ' never exists → warning + full rescan. */
+  def vFallback(spark: SparkSession, dir: String): DataFrame =
+    Validator.summaryWithFallback(tok(spark, dir), "ZZ", ruleSet, dims(spark))
+      .orderBy("source")
+
+  /** Error containment (#40): two broken rules become engine_error rows. */
+  def vContained(spark: SparkSession, dir: String): DataFrame = {
+    val broken = RuleSet("with_bad", ruleSet.rules ++ Seq(
+      graft.rules.NotNullRule("bad_col_rule", "no_such_column"),
+      graft.rules.ReferentialRule("bad_ref_rule", "source", "no_such_dim")))
+    Validator.violationsContained(tok(spark, dir), broken, dims(spark))
+      .groupBy("rule_id").agg(count(lit(1)).as("n")).orderBy("rule_id")
+  }
+
+  /** Report-inclusion predicate (#21). */
+  def rReportSources(spark: SparkSession, dir: String): DataFrame =
+    graft.report.ReportOps.includeSources(
+      Validator.summary(tok(spark, dir), detailed(spark, dir)))
+      .orderBy("source")
+
+  /** Diagnostics grouping (#22). */
+  def rDetailGroups(spark: SparkSession, dir: String): DataFrame =
+    graft.report.ReportOps.groupByDetailPrefix(detailed(spark, dir))
+      .orderBy("detail_key")
+
+  /** Detail filter + rewrite (#26/#27). */
+  def rDetailFilter(spark: SparkSession, dir: String): DataFrame =
+    graft.report.ReportOps.rewriteDetail(
+      graft.report.ReportOps.filterByDetail(detailed(spark, dir), "not in"))
+      .select("doc_id", "detail").orderBy("doc_id", "detail")
+
+  /** JSON ingestion, syntactic validity (#5/#13): corrupt → parse rows. */
+  def jParseViolations(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.sources.JsonIngest.materializedJson(spark, dir)
+    graft.sources.JsonIngest.parseViolations(
+      graft.sources.JsonIngest.read(spark, corpus))
+      .select("doc_id", "rule_id").orderBy("doc_id")
+  }
+
+  /** JSON ingestion: rows that parsed cleanly, summarized per source. */
+  def jValidSummary(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.sources.JsonIngest.materializedJson(spark, dir)
+    graft.sources.JsonIngest.validRows(
+      graft.sources.JsonIngest.read(spark, corpus))
+      .groupBy("source").agg(count(lit(1)).as("n_rows"),
+        sum(col("n_tok")).as("sum_n_tok"))
+      .orderBy("source")
+  }
+
+  /** Structured Streaming validation over the token table as a bounded
+    * stream (Trigger.AvailableNow) — same violation counts as batch.
+    */
+  def sStreamRuleMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val path = TokenTable.materializedPath(spark, dir)
+    graft.streaming.StreamingValidation.runRuleMatrixAvailableNow(
+      spark, path, ruleSet, dims(spark))
+      .orderBy("source", "rule_id")
+  }
+
   // ---- training-data pipeline queries (documents / embeddings) -------------
 
   import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
@@ -204,6 +265,14 @@ object Queries {
     "r_fdpg_split" -> (rFdpgSplit _),
     "r_length_mismatch" -> (rLengthMismatch _),
     "r_hist_pivot" -> (rHistPivot _),
+    "v_fallback" -> (vFallback _),
+    "v_contained" -> (vContained _),
+    "r_report_sources" -> (rReportSources _),
+    "r_detail_groups" -> (rDetailGroups _),
+    "r_detail_filter" -> (rDetailFilter _),
+    "j_parse_violations" -> (jParseViolations _),
+    "j_valid_summary" -> (jValidSummary _),
+    "s_stream_rule_matrix" -> (sStreamRuleMatrix _),
     "d_tokcount" -> (dTokcount _),
     "d_quality" -> (dQuality _),
     "d_langid_accuracy" -> (dLangidAccuracy _),
@@ -390,6 +459,61 @@ object Queries {
          |       coalesce(CAST(max(CASE WHEN bucket = 5 THEN cnt END) AS VARCHAR), '--') AS b5,
          |       coalesce(CAST(max(CASE WHEN bucket = 6 THEN cnt END) AS VARCHAR), '--') AS b6
          |FROM h GROUP BY source ORDER BY source""".stripMargin,
+
+    "v_fallback" ->
+      s"""WITH $violationsCte,
+         |vc AS (SELECT source, count(*) AS nv FROM v GROUP BY source)
+         |SELECT t.source, count(*) AS n_rows,
+         |       coalesce(max(vc.nv), 0) AS n_violations,
+         |       coalesce(max(vc.nv), 0) = 0 AS pass,
+         |       TRUE AS fallback,
+         |       'no rows for source ''ZZ''; validated without filter' AS note
+         |FROM tok t LEFT JOIN vc ON t.source = vc.source
+         |GROUP BY t.source ORDER BY t.source""".stripMargin,
+
+    "v_contained" ->
+      s"""WITH $violationsCte,
+         |n AS (
+         |  SELECT rule_id, count(*) AS n FROM v GROUP BY rule_id
+         |  UNION ALL SELECT 'bad_col_rule', 1
+         |  UNION ALL SELECT 'bad_ref_rule', 1)
+         |SELECT rule_id, CAST(n AS BIGINT) AS n FROM n
+         |ORDER BY rule_id""".stripMargin,
+
+    "r_report_sources" ->
+      s"""WITH $violationsCte
+         |SELECT DISTINCT source FROM v ORDER BY source""".stripMargin,
+
+    "r_detail_groups" ->
+      s"""WITH $violationsCte
+         |SELECT split_part(detail, '=', 1) AS detail_key,
+         |       count(*) AS n,
+         |       string_agg(DISTINCT rule_id, ',' ORDER BY rule_id) AS rule_ids
+         |FROM v GROUP BY 1 ORDER BY detail_key""".stripMargin,
+
+    "r_detail_filter" ->
+      s"""WITH $violationsCte
+         |SELECT doc_id, regexp_replace(detail, '^[a-z_]+=', '') AS detail
+         |FROM v WHERE detail LIKE '%not in%'
+         |ORDER BY doc_id, detail""".stripMargin,
+
+    "j_parse_violations" ->
+      s"""WITH $cte
+         |SELECT doc_id, 'parse' AS rule_id FROM tok
+         |WHERE key % 113 = 0 ORDER BY doc_id""".stripMargin,
+
+    "j_valid_summary" ->
+      s"""WITH $cte
+         |SELECT source, count(*) AS n_rows,
+         |       CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+         |FROM tok WHERE key % 113 <> 0
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "s_stream_rule_matrix" ->
+      s"""WITH $violationsCte
+         |SELECT source, rule_id, count(*) AS cnt FROM v
+         |WHERE rule_id <> 'unique_doc_id'
+         |GROUP BY source, rule_id ORDER BY source, rule_id""".stripMargin,
 
     // word list shared by the document oracles (split on ' ', drop empties)
     "d_tokcount" ->

@@ -96,6 +96,75 @@ object Validator {
     (Seq(row) ++ refs ++ uniq).reduce(_ unionByName _)
   }
 
+  /** Error-contained rule-set pass (SURVEY.md §2 row 40): a rule that fails
+    * to compile or resolve (unknown column, missing dimension, bad config)
+    * becomes an `engine_error` violation row instead of aborting the run —
+    * the reference's containment policy (HTTP/validation failures append a
+    * processing issue and the run continues, main.py:225-263).
+    *
+    * Resolution is probed per rule against the frame's schema (cheap,
+    * driver-side analysis only); healthy row rules still evaluate in ONE
+    * batched scan — containment costs no extra passes.
+    */
+  def violationsContained(
+      df: DataFrame, ruleSet: RuleSet,
+      dims: Map[String, DataFrame]): DataFrame = {
+    val spark = df.sparkSession
+
+    def errorRow(ruleId: String, e: Throwable): DataFrame =
+      spark.range(1).select(
+        lit("-").as("doc_id"), lit(ruleId).as("rule_id"),
+        lit(s"engine_error: ${e.getClass.getSimpleName}").as("detail"),
+        lit("error").as("severity"), lit("-").as("source"))
+
+    val (goodRows, badRows) = ruleSet.rowRules.partition { r =>
+      try { df.select(RuleCompiler.compileRow(r).violated); true }
+      catch { case _: Exception => false }
+    }
+    val rowPart =
+      if (goodRows.nonEmpty) Seq(rowViolations(df, goodRows)) else Nil
+    val rowErrs = badRows.map { r =>
+      val err = try { df.select(RuleCompiler.compileRow(r).violated); null }
+                catch { case e: Exception => e }
+      errorRow(r.id, err)
+    }
+    val refs = ruleSet.referentialRules.map { r =>
+      try referentialViolations(df, r, dims(r.dimension))
+      catch { case e: Exception => errorRow(r.id, e) }
+    }
+    val uniq = ruleSet.uniqueRules.map { r =>
+      try uniqueViolations(df, r)
+      catch { case e: Exception => errorRow(r.id, e) }
+    }
+    (rowPart ++ rowErrs ++ refs ++ uniq).reduce(_ unionByName _)
+  }
+
+  /** Per-source validation with adaptive fallback (SURVEY.md §2 row 39, the
+    * reference's `run_total_tests`, main.py:183-214): validate the slice for
+    * `source`; if the filtered scan is EMPTY, record a warning and rerun
+    * over the unfiltered table — the analogue of retrying a profile-filtered
+    * search without `_profile` (main.py:191-206).
+    *
+    * Output: the per-source summary plus `fallback` and `note` columns. The
+    * driver-side `isEmpty` branch is deliberate explicit control flow, not a
+    * Catalyst concern (SURVEY.md §4).
+    */
+  def summaryWithFallback(
+      df: DataFrame, source: String, ruleSet: RuleSet,
+      dims: Map[String, DataFrame]): DataFrame = {
+    val filtered = df.where(col("source") === lit(source))
+    if (filtered.isEmpty) {
+      summary(df, violations(df, ruleSet, dims))
+        .withColumn("fallback", lit(true))
+        .withColumn("note",
+          lit(s"no rows for source '$source'; validated without filter"))
+    } else {
+      summary(filtered, violations(filtered, ruleSet, dims))
+        .withColumn("fallback", lit(false))
+        .withColumn("note", lit(""))
+    }
+  }
+
   /** Canonical 3-column violation projection. */
   def canonical(detailed: DataFrame): DataFrame =
     detailed.select("doc_id", "rule_id", "detail")

@@ -66,6 +66,28 @@ object ReportOps {
         regexp_extract(col("detail"), "n_tok=([0-9]+) size=([0-9]+)", 2)
           .cast("int").as("actual"))
 
+  /** Report-inclusion predicate (main.py:153-155, 174-176): a source enters
+    * the report only if it has real issues — the HAVING-style filter after
+    * the summary aggregate (the reference's "more than the single 'No issues
+    * detected' sentinel" check collapses to n_violations > 0 in the flat
+    * violation model).
+    */
+  def includeSources(summary: DataFrame): DataFrame =
+    summary.where(col("n_violations") > 0).select("source")
+
+  /** Group violations by normalized diagnostics (report_visualizer.py:
+    * 203-215): the reference strips the trailing " (from <profile>)" and
+    * collects (code, issue) pairs per normalized message; here the detail's
+    * field-name prefix (before '=') is the normalized key and the rule ids
+    * are collected per group.
+    */
+  def groupByDetailPrefix(violations: DataFrame): DataFrame =
+    violations
+      .groupBy(substring_index(col("detail"), "=", 1).as("detail_key"))
+      .agg(count(lit(1)).as("n"),
+        array_join(array_sort(collect_set(col("rule_id"))), ",")
+          .as("rule_ids"))
+
   /** Distribution pivot (report_visualizer.py:21-57): per-source histogram
     * rows widened to one row per source with `--` for missing buckets.
     */

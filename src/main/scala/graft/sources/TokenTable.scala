@@ -54,7 +54,13 @@ object TokenTable {
   private val cacheBase =
     sys.env.getOrElse("GRAFT_TOK_CACHE", "/tmp/graft_tok_cache")
 
-  def materialized(spark: SparkSession, sfDir: String, variant: String): DataFrame = synchronized {
+  def materialized(spark: SparkSession, sfDir: String, variant: String): DataFrame =
+    spark.read.parquet(materializedPath(spark, sfDir, variant))
+
+  /** Path of the materialized table (builds it on first use) — handed to the
+    * streaming file source, which needs a directory, not a DataFrame.
+    */
+  def materializedPath(spark: SparkSession, sfDir: String, variant: String = "full"): String = synchronized {
     val dir = new java.io.File(
       s"$cacheBase/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_$variant")
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
@@ -63,7 +69,7 @@ object TokenTable {
                else li0
       write(fromLineitem(li), dir.toString)
     }
-    spark.read.parquet(dir.toString)
+    dir.toString
   }
 
   /** Cache writer: fixed 32-way layout with small parquet row groups.
@@ -105,7 +111,15 @@ object TokenTable {
   /** Token view over an arbitrary lineitem slice (drift baselines carve
     * deterministic sub-snapshots by filtering the scan first).
     */
-  def fromLineitem(liRaw: DataFrame): DataFrame = {
+  def fromLineitem(liRaw: DataFrame): DataFrame =
+    fromLineitemKeyed(liRaw).drop("key")
+
+  /** Same derivation, keeping the injection key `l_orderkey*7+l_linenumber`
+    * as a column — used by fixtures that need further deterministic
+    * corruption keyed off the same congruence scheme (e.g. the JSON-ingest
+    * corpus, [[JsonIngest]]).
+    */
+  def fromLineitemKeyed(liRaw: DataFrame): DataFrame = {
     // The driver's sf files are single-row-group parquet → a 1-task scan.
     // The token derivation below is higher-order-function work (no codegen),
     // so spread it across the cluster first. Real deployments read an
@@ -117,6 +131,7 @@ object TokenTable {
     val key = (li("l_orderkey") * 7 + li("l_linenumber")).cast("bigint")
     val nTrue = li("l_quantity").cast("int")
     li.select(
+      key.as("key"),
       when(key % 101 === 0,
         concat(lit("dup-"), (li("l_orderkey") % 13).cast("string")))
         .otherwise(concat(li("l_orderkey").cast("string"), lit("-"),

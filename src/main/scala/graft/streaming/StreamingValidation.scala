@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import graft.engine.Validator
+import graft.model.DetailedViolation
+import graft.rules.{ReferentialRule, RuleSet}
+
+/** Structured-Streaming face of the validation engine: the same compiled
+  * rule predicates evaluated continuously over an unbounded token stream.
+  *
+  * The reference validates in pull-based pages over a live FHIR server
+  * (/root/reference/extraction/fhir.py:53-94 — a poor man's stream); here the
+  * page cursor becomes a real Structured Streaming source and the per-page
+  * validate-and-merge loop (main.py:249-267) becomes incremental micro-batch
+  * execution with state kept by the engine, not by driver dicts:
+  *
+  *  - row rules: stateless — identical `Column` predicates as batch
+  *    ([[Validator.rowViolations]] works on a streaming frame unchanged).
+  *  - referential rules: stream–static broadcast anti-join (the dimension is
+  *    a static table, so no stream-stream join state is needed).
+  *  - uniqueness: genuinely stateful — `flatMapGroupsWithState` keyed by
+  *    doc_id holding one long per key (the count seen so far). At cluster
+  *    scale state is hash-partitioned by key across executors and
+  *    checkpointed by the state store; no driver memory is involved.
+  */
+object StreamingValidation {
+
+  /** Input schema of the token stream (BASELINE.json input_hint). */
+  val tokenSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType),
+    StructField("tokens", ArrayType(IntegerType)),
+    StructField("n_tok", IntegerType),
+    StructField("source", StringType)))
+
+  /** Stateless violation stream: row rules in one codegen pass, plus one
+    * stream–static broadcast anti-join per referential rule. Output schema =
+    * batch [[Validator.violations]] (doc_id, rule_id, detail, severity,
+    * source); works in append mode with no watermark.
+    */
+  def violationStream(
+      stream: DataFrame, ruleSet: RuleSet,
+      dims: Map[String, DataFrame]): DataFrame = {
+    val row = Validator.rowViolations(stream, ruleSet.rowRules)
+    val refs = ruleSet.referentialRules.map { r =>
+      Validator.referentialViolations(stream, r, dims(r.dimension))
+    }
+    (Seq(row) ++ refs).reduce(_ unionByName _)
+  }
+
+  /** Stateful streaming uniqueness: emits a violation row whenever a doc_id
+    * arrives that was already seen (in this or any earlier micro-batch).
+    * One `long` of state per distinct key, partitioned by key.
+    *
+    * Semantics vs batch [[Validator.uniqueViolations]]: batch reports each
+    * duplicated key once with its final count; the stream reports a key each
+    * time NEW duplicates arrive, carrying the running count — the natural
+    * incremental refinement (the final emission matches the batch count).
+    */
+  def uniqueViolationStream(stream: DataFrame): Dataset[DetailedViolation] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("doc_id"), col("source")).as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (docId: String, rows: Iterator[(String, String)],
+         state: GroupState[Long]) => {
+          val batch = rows.toSeq
+          val prev = state.getOption.getOrElse(0L)
+          val total = prev + batch.size
+          state.update(total)
+          if (total > 1 && batch.nonEmpty)
+            Iterator(DetailedViolation(docId, "unique_doc_id",
+              s"doc_id occurs $total times", "warning",
+              batch.map(_._2).min))
+          else Iterator.empty
+        })
+  }
+
+  /** One-shot streaming run over a (partitioned) parquet token table using
+    * `Trigger.AvailableNow`: processes the table as a bounded stream of
+    * micro-batches (`maxFilesPerTrigger` files each) and returns the final
+    * aggregate — the deterministic harness used by `SparkEntry` so the
+    * streaming path is oracle-checked like every batch operator.
+    */
+  def runRuleMatrixAvailableNow(
+      spark: SparkSession, path: String, ruleSet: RuleSet,
+      dims: Map[String, DataFrame], maxFilesPerTrigger: Int = 8): DataFrame = {
+    val stream = spark.readStream
+      .schema(tokenSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+    val agg = violationStream(stream, ruleSet, dims)
+      .groupBy("source", "rule_id").agg(count(lit(1)).as("cnt"))
+    val name = s"graft_stream_matrix_${System.nanoTime()}"
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Validator
+import graft.rules._
+import graft.sources.{JsonIngest, TokenTable}
+
+/** Lifecycle semantics: JSON parse containment, adaptive fallback, rule
+  * error containment, report-side inclusion + grouping.
+  */
+class LifecycleSpec extends SparkSpec {
+
+  private def dims = Map("allowed_sources" -> TokenTable.allowedDim(spark))
+  private def ruleSet = RuleSet.default(TokenTable.Vocab)
+
+  test("JSON ingest: corrupt lines become parse violations, rest parse clean") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    Seq(
+      """{"doc_id":"d1","tokens":[1,2],"n_tok":2,"source":"A"}""",
+      """{"doc_id":"d2","tokens":[""",                      // corrupt, id salvageable
+      """not even json""",                                  // corrupt, no id
+      """{"doc_id":"d3","n_tok":1,"source":"N"}"""          // valid, tokens absent
+    ).toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+
+    val df = JsonIngest.read(spark, dir)
+    val valid = JsonIngest.validRows(df)
+    assert(valid.count() === 2)
+    assert(valid.where(col("doc_id") === "d3").select("tokens")
+      .first().isNullAt(0))
+
+    val pv = JsonIngest.parseViolations(df)
+      .select("doc_id", "rule_id", "severity")
+      .as[(String, String, String)].collect().toSet
+    assert(pv === Set(
+      ("d2", "parse", "fatal"), ("<unparseable>", "parse", "fatal")))
+  }
+
+  test("JSON fixture corpus: parse violations at exactly key % 113 == 0") {
+    val corpus = JsonIngest.materializedJson(spark, sf0001)
+    val df = JsonIngest.read(spark, corpus)
+    val expected = TokenTable.lineitem(spark, sf0001)
+      .where((col("l_orderkey") * 7 + col("l_linenumber")) % 113 === 0)
+      .count()
+    assert(JsonIngest.parseViolations(df).count() === expected)
+    assert(JsonIngest.validRows(df).count() ===
+      TokenTable.lineitem(spark, sf0001).count() - expected)
+  }
+
+  test("adaptive fallback: missing source → warning note + full rescan") {
+    val tok = TokenTable.tokens(spark, sf0001)
+    val fb = Validator.summaryWithFallback(tok, "ZZ", ruleSet, dims)
+    assert(fb.select("fallback").distinct().collect().map(_.getBoolean(0))
+      .toSeq === Seq(true))
+    assert(fb.count() === tok.select("source").distinct().count())
+    val direct = Validator.summaryWithFallback(tok, "A", ruleSet, dims)
+    assert(direct.select("fallback").first().getBoolean(0) === false)
+    assert(direct.count() === 1)
+  }
+
+  test("error containment: broken rules become engine_error rows, good rules still run") {
+    val tok = TokenTable.tokens(spark, sf0001)
+    val broken = RuleSet("with_bad", ruleSet.rules ++ Seq(
+      NotNullRule("bad_col_rule", "no_such_column"),
+      ReferentialRule("bad_ref_rule", "source", "no_such_dim")))
+    val out = Validator.violationsContained(tok, broken, dims)
+    val errs = out.where(col("detail").startsWith("engine_error"))
+      .select("rule_id").collect().map(_.getString(0)).toSet
+    assert(errs === Set("bad_col_rule", "bad_ref_rule"))
+    // healthy rules unaffected: same counts as the plain pass
+    val contained = out.where(!col("detail").startsWith("engine_error"))
+      .groupBy("rule_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = Validator.violations(tok, ruleSet, dims)
+      .groupBy("rule_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(contained === plain)
+  }
+
+  test("report inclusion + detail grouping") {
+    val s = spark
+    import s.implicits._
+    val tok = TokenTable.tokens(spark, sf0001)
+    val v = Validator.violations(tok, ruleSet, dims)
+    val included = graft.report.ReportOps.includeSources(
+      Validator.summary(tok, v)).as[String].collect().toSet
+    val withV = v.select("source").distinct().as[String].collect().toSet
+    assert(included === withV)
+
+    val groups = graft.report.ReportOps.groupByDetailPrefix(v)
+    val keys = groups.select("detail_key").as[String].collect().toSet
+    assert(keys.contains("n_tok"))      // "n_tok=.. size=.." violations
+    assert(keys.contains("source"))     // referential violations
+    val nTotal = groups.agg(sum("n")).first().getLong(0)
+    assert(nTotal === v.count())
+  }
+}

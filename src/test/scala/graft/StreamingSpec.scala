@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.rules.RuleSet
+import graft.sources.TokenTable
+import graft.streaming.{StreamingDrift, StreamingValidation}
+
+/** Structured-Streaming behavior: stateless rule stream, stateful streaming
+  * uniqueness, and windowed sketch drift with watermark-driven emission.
+  */
+case class In(doc_id: String, tokens: Seq[Int], n_tok: Int, source: String)
+case class TimedIn(doc_id: String, tokens: Seq[Int], n_tok: Int,
+    source: String, ts: java.sql.Timestamp)
+
+class StreamingSpec extends SparkSpec {
+
+  import java.sql.Timestamp
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+
+  test("stateless violation stream matches batch semantics per micro-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[In]
+    val ruleSet = RuleSet.default(100)
+    val dims = Map("allowed_sources" -> TokenTable.allowedDim(spark))
+    val out = StreamingValidation.violationStream(
+      mem.toDF(), ruleSet, dims)
+    val q = out.writeStream.format("memory").queryName("sv_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        In("ok", Seq(1, 2), 2, "A"),
+        In("short", Seq(1), 2, "A"),        // len_consistency
+        In("oov", Seq(999), 1, "N"),        // token_bounds (vocab=100)
+        In("badsrc", Seq(1), 1, "X"))       // ref_source
+      q.processAllAvailable()
+      val got = spark.table("sv_test")
+        .select("doc_id", "rule_id").as[(String, String)].collect().toSet
+      assert(got === Set(
+        ("short", "len_consistency"), ("oov", "token_bounds"),
+        ("badsrc", "ref_source")))
+      // second micro-batch appends independently
+      mem.addData(In("late", null, 1, "A")) // not_null_tokens
+      q.processAllAvailable()
+      val got2 = spark.table("sv_test")
+        .select("doc_id", "rule_id").as[(String, String)].collect().toSet
+      assert(got2.contains(("late", "not_null_tokens")))
+      assert(got2.size === 4)
+    } finally q.stop()
+  }
+
+  test("stateful streaming uniqueness fires on re-occurrence across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[In]
+    val out = StreamingValidation.uniqueViolationStream(mem.toDF())
+    val q = out.writeStream.format("memory").queryName("su_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(In("a", Seq(1), 1, "A"), In("b", Seq(1), 1, "A"))
+      q.processAllAvailable()
+      assert(spark.table("su_test").count() === 0)
+      // duplicate within one batch AND duplicate across batches
+      mem.addData(In("a", Seq(1), 1, "N"), In("c", Seq(1), 1, "A"),
+        In("c", Seq(2), 1, "R"))
+      q.processAllAvailable()
+      val got = spark.table("su_test")
+        .select("doc_id", "detail").as[(String, String)].collect().toMap
+      assert(got === Map(
+        "a" -> "doc_id occurs 2 times",
+        "c" -> "doc_id occurs 2 times"))
+    } finally q.stop()
+  }
+
+  test("windowed sketch drift emits closed windows with correct verdicts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TimedIn]
+    // baseline: n_tok uniform around 10 for source A
+    val baseline = Seq.tabulate(50)(i => In(s"b$i", Seq(1), 10, "A")).toDF()
+    val baseQs = StreamingDrift.baselineQuantiles(
+      baseline, "n_tok", k = 200, ps = Seq(0.5))
+    val out = StreamingDrift.windowedSketchDrift(
+      mem.toDF(), "ts", "10 minutes", "5 minutes", baseQs, "n_tok",
+      k = 200, ps = Seq(0.5), threshold = 3.0)
+    val q = out.writeStream.format("memory").queryName("sd_test")
+      .outputMode("append").start()
+    try {
+      // window [10:00,10:10): n_tok ≈ 10 (no drift)
+      // window [10:10,10:20): n_tok ≈ 30 (drift)
+      mem.addData(
+        TimedIn("w1a", Seq(1), 10, "A", ts(1)),
+        TimedIn("w1b", Seq(1), 11, "A", ts(5)),
+        TimedIn("w2a", Seq(1), 30, "A", ts(11)),
+        TimedIn("w2b", Seq(1), 31, "A", ts(15)))
+      q.processAllAvailable()
+      // advance the watermark beyond both windows to force emission
+      mem.addData(TimedIn("flush", Seq(1), 10, "A", ts(40)))
+      q.processAllAvailable()
+      val got = spark.table("sd_test")
+        .select(col("window_start").cast("string"), col("drifted"))
+        .as[(String, Boolean)].collect().toMap
+      assert(got("2026-01-01 10:00:00") === false)
+      assert(got("2026-01-01 10:10:00") === true)
+    } finally q.stop()
+  }
+
+  test("AvailableNow streaming rule matrix equals the batch rule matrix") {
+    val path = TokenTable.materializedPath(spark, sf0001)
+    val ruleSet = RuleSet.default(TokenTable.Vocab)
+    val dims = Map("allowed_sources" -> TokenTable.allowedDim(spark))
+    val streamed = StreamingValidation.runRuleMatrixAvailableNow(
+      spark, path, ruleSet, dims, maxFilesPerTrigger = 4)
+      .orderBy("source", "rule_id").collect().toSeq
+    val batch = graft.engine.Validator.violations(
+        TokenTable.tokens(spark, sf0001), ruleSet, dims)
+      .where(col("rule_id") =!= "unique_doc_id")
+      .groupBy("source", "rule_id").agg(count(lit(1)).as("cnt"))
+      .orderBy("source", "rule_id").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+}
