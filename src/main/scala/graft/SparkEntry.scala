@@ -143,6 +143,17 @@ object Queries {
       .groupBy("rule_id").agg(count(lit(1)).as("n")).orderBy("rule_id")
   }
 
+  /** Top-k + limit (#4/#31): most-duplicated doc_ids. */
+  def vTopDups(spark: SparkSession, dir: String): DataFrame =
+    Validator.topDuplicatedKeys(tok(spark, dir), "doc_id", 10)
+
+  /** Window-function uniqueness alternative (§2.6): duplicate row ranks. */
+  def vDupRanked(spark: SparkSession, dir: String): DataFrame =
+    Validator.duplicatesRanked(tok(spark, dir), "doc_id")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_extra"),
+        max(col("rn")).as("max_rn"))
+      .orderBy("doc_id")
+
   /** Report-inclusion predicate (#21). */
   def rReportSources(spark: SparkSession, dir: String): DataFrame =
     graft.report.ReportOps.includeSources(
@@ -265,6 +276,8 @@ object Queries {
     "r_fdpg_split" -> (rFdpgSplit _),
     "r_length_mismatch" -> (rLengthMismatch _),
     "r_hist_pivot" -> (rHistPivot _),
+    "v_topk_dups" -> (vTopDups _),
+    "v_dup_ranked" -> (vDupRanked _),
     "v_fallback" -> (vFallback _),
     "v_contained" -> (vContained _),
     "r_report_sources" -> (rReportSources _),
@@ -459,6 +472,21 @@ object Queries {
          |       coalesce(CAST(max(CASE WHEN bucket = 5 THEN cnt END) AS VARCHAR), '--') AS b5,
          |       coalesce(CAST(max(CASE WHEN bucket = 6 THEN cnt END) AS VARCHAR), '--') AS b6
          |FROM h GROUP BY source ORDER BY source""".stripMargin,
+
+    "v_topk_dups" ->
+      s"""WITH $cte
+         |SELECT doc_id, count(*) AS cnt FROM tok
+         |GROUP BY doc_id HAVING count(*) > 1
+         |ORDER BY cnt DESC, doc_id LIMIT 10""".stripMargin,
+
+    "v_dup_ranked" ->
+      s"""WITH $cte,
+         |r AS (SELECT doc_id,
+         |             row_number() OVER (PARTITION BY doc_id
+         |                                ORDER BY n_tok, source) AS rn
+         |      FROM tok)
+         |SELECT doc_id, count(*) AS n_extra, CAST(max(rn) AS INT) AS max_rn
+         |FROM r WHERE rn > 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "v_fallback" ->
       s"""WITH $violationsCte,

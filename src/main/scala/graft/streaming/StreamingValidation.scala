@@ -87,7 +87,7 @@ object StreamingValidation {
     */
   def runRuleMatrixAvailableNow(
       spark: SparkSession, path: String, ruleSet: RuleSet,
-      dims: Map[String, DataFrame], maxFilesPerTrigger: Int = 8): DataFrame = {
+      dims: Map[String, DataFrame], maxFilesPerTrigger: Int = 32): DataFrame = {
     val stream = spark.readStream
       .schema(tokenSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -75,6 +75,35 @@ object Explain {
         .orderBy(org.apache.spark.sql.functions.desc("count"))
         .show(10)
     }
+    if (args.contains("--exp")) {
+      val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "16").toInt
+      val stok = TokenTable.tokensScaled(spark, sfDir, scale)
+      // warm-up
+      Validator.rowViolations(stok, ruleSet.rowRules).count()
+      timed("rr_inferred_filter")(
+        Validator.rowViolations(stok, ruleSet.rowRules).count())
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      Validator.rowViolations(stok, ruleSet.rowRules).count()
+      timed("rr_no_infer")(
+        Validator.rowViolations(stok, ruleSet.rowRules).count())
+      spark.conf.unset("spark.sql.optimizer.excludedRules")
+
+      Validator.uniqueViolations(stok, ruleSet.uniqueRules.head).count()
+      timed("uniq_sortagg")(
+        Validator.uniqueViolations(stok, ruleSet.uniqueRules.head).count())
+      // variant: hash-agg count only, then re-join tiny dup set for source
+      def uniqTwoScan(): Long = {
+        val dups = stok.groupBy("doc_id")
+          .agg(count(lit(1)).as("cnt")).where(col("cnt") > 1)
+        stok.join(broadcast(dups), Seq("doc_id"))
+          .groupBy("doc_id")
+          .agg(max(col("cnt")).as("cnt"), min(col("source")).as("source"))
+          .count()
+      }
+      uniqTwoScan()
+      timed("uniq_twoscan")(uniqTwoScan())
+    }
     if (args.contains("--plans")) {
       Validator.violations(tok, ruleSet, dims).explain("formatted")
     }

@@ -78,6 +78,32 @@ class LifecycleSpec extends SparkSpec {
     assert(contained === plain)
   }
 
+  test("window-ranked duplicates agree with aggregate uniqueness") {
+    val s = spark
+    import s.implicits._
+    val tok = TokenTable.tokens(spark, sf0001)
+    // per-key extra-row counts from the window path...
+    val ranked = Validator.duplicatesRanked(tok, "doc_id")
+      .groupBy("doc_id").count().as[(String, Long)].collect().toMap
+    // ...must equal (cnt - 1) from the aggregate path
+    val agg = tok.groupBy("doc_id").count().where(col("count") > 1)
+      .as[(String, Long)].collect().toMap
+    assert(ranked === agg.map { case (k, n) => k -> (n - 1) })
+    assert(ranked.nonEmpty)
+  }
+
+  test("top-k duplicated keys is the k most frequent, ordered") {
+    val s = spark
+    import s.implicits._
+    val tok = TokenTable.tokens(spark, sf0001)
+    val top = Validator.topDuplicatedKeys(tok, "doc_id", 3)
+      .as[(String, Long)].collect().toSeq
+    val all = tok.groupBy("doc_id").count().where(col("count") > 1)
+      .as[(String, Long)].collect().toSeq
+      .sortBy { case (id, n) => (-n, id) }
+    assert(top === all.take(3))
+  }
+
   test("report inclusion + detail grouping") {
     val s = spark
     import s.implicits._
