@@ -32,6 +32,9 @@ object Sessions {
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES", "8m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // engine SQL functions (kll_quantiles) — the same line a cluster
+      // deployment passes to spark-submit
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

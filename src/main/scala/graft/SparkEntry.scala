@@ -143,6 +143,18 @@ object Queries {
       .groupBy("rule_id").agg(count(lit(1)).as("n")).orderBy("rule_id")
   }
 
+  /** Pure-SQL surface: the same per-source stats through `spark.sql` over a
+    * registered view (the API a SQL-first user of the engine would hit).
+    */
+  def vSqlStats(spark: SparkSession, dir: String): DataFrame = {
+    tok(spark, dir).createOrReplaceTempView("graft_tokens")
+    spark.sql(
+      """SELECT source, count(*) AS n_rows,
+        |       min(n_tok) AS min_n_tok, max(n_tok) AS max_n_tok,
+        |       percentile(n_tok, 0.5) AS med_n_tok
+        |FROM graft_tokens GROUP BY source ORDER BY source""".stripMargin)
+  }
+
   /** Top-k + limit (#4/#31): most-duplicated doc_ids. */
   def vTopDups(spark: SparkSession, dir: String): DataFrame =
     Validator.topDuplicatedKeys(tok(spark, dir), "doc_id", 10)
@@ -276,6 +288,7 @@ object Queries {
     "r_fdpg_split" -> (rFdpgSplit _),
     "r_length_mismatch" -> (rLengthMismatch _),
     "r_hist_pivot" -> (rHistPivot _),
+    "v_sql_stats" -> (vSqlStats _),
     "v_topk_dups" -> (vTopDups _),
     "v_dup_ranked" -> (vDupRanked _),
     "v_fallback" -> (vFallback _),
@@ -472,6 +485,13 @@ object Queries {
          |       coalesce(CAST(max(CASE WHEN bucket = 5 THEN cnt END) AS VARCHAR), '--') AS b5,
          |       coalesce(CAST(max(CASE WHEN bucket = 6 THEN cnt END) AS VARCHAR), '--') AS b6
          |FROM h GROUP BY source ORDER BY source""".stripMargin,
+
+    "v_sql_stats" ->
+      s"""WITH $cte
+         |SELECT source, count(*) AS n_rows,
+         |       min(n_tok) AS min_n_tok, max(n_tok) AS max_n_tok,
+         |       quantile_cont(n_tok, 0.5) AS med_n_tok
+         |FROM tok GROUP BY source ORDER BY source""".stripMargin,
 
     "v_topk_dups" ->
       s"""WITH $cte
