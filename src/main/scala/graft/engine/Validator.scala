@@ -102,6 +102,41 @@ object Validator {
     (Seq(row) ++ refs ++ uniq).reduce(_ unionByName _)
   }
 
+  /** Explicit salted two-phase uniqueness (north-star: "salted repartition
+    * on skewed sources"). Phase 1 aggregates on (key, salt) — a hot key's
+    * rows spread over `nSalt` reducers; phase 2 re-aggregates the ≤ nSalt
+    * partials per key, so no reducer ever owns a whole hot key.
+    *
+    * When it matters: [[uniqueViolations]]'s single-phase aggregate is
+    * already skew-safe for COUNT because map-side partial aggregation ships
+    * at most one partial row per key per map task. Salting becomes necessary
+    * when partial aggregation is ineffective or the per-key state is big —
+    * distinct-style aggregates, collect_list, large sketch buffers — or when
+    * a single reduce key would otherwise exceed executor memory. Output is
+    * identical to [[uniqueViolations]] (asserted by ValidatorSpec).
+    *
+    * The salt derives from per-row payload (hash of n_tok, source, tokens),
+    * not from randomness — reruns are deterministic and the same row always
+    * lands on the same salt bucket, which keeps the two-phase result exact.
+    */
+  def uniqueViolationsSalted(
+      df: DataFrame, rule: UniqueRule, nSalt: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(hash(col("n_tok"), col("source"), col("tokens")), lit(nSalt)))
+    val phase1 = salted
+      .groupBy(col(rule.column), col("_salt"))
+      .agg(count(lit(1)).as("cnt1"), min(col("source")).as("src1"))
+    val phase2 = phase1
+      .groupBy(col(rule.column))
+      .agg(sum(col("cnt1")).as("cnt"), min(col("src1")).as("source"))
+      .where(col("cnt") > 1)
+    phase2.select(col(rule.column).cast("string").as("doc_id"),
+      lit(rule.id).as("rule_id"),
+      concat(lit(s"${rule.column} occurs "), col("cnt").cast("string"),
+        lit(" times")).as("detail"),
+      lit(rule.severity).as("severity"), col("source"))
+  }
+
   /** Ranked duplicate rows via a window function — the alternative
     * uniqueness formulation (SURVEY.md §2.6: `row_number().over(partitionBy
     * doc_id)`). Emits (doc_id, rn) for every row beyond the first per key.

@@ -91,14 +91,18 @@ object SimilarityOps {
     val centroids = embeddings.orderBy("vec_id").limit(nCentroids)
       .select(col("vec_id").as("centroid_id"),
         col("embedding").as("centroid"))
+    // arg-max via max_by, not a row_number window: the window would shuffle
+    // all |V|×C scored rows by vec_id; max_by partial-aggregates map-side so
+    // only one (best-so-far) row per vector crosses the exchange — the
+    // difference between shipping C× the table and 1× at cluster scale.
+    // Tie-break to the LOWEST centroid_id by negating it in the ordering.
     embeddings.crossJoin(broadcast(centroids))
       .select(col("vec_id"),
         col("centroid_id"),
         cosine(col("embedding"), col("centroid")).as("sim"))
-      .withColumn("rn", expr(
-        "row_number() over (partition by vec_id order by sim desc, centroid_id)"))
-      .where(col("rn") === 1)
-      .select("vec_id", "centroid_id")
+      .groupBy("vec_id")
+      .agg(max_by(col("centroid_id"),
+        struct(col("sim"), -col("centroid_id"))).as("centroid_id"))
   }
 
   /** IVF query: probe the `nProbe` centroids nearest the query, exact

@@ -104,6 +104,28 @@ class LifecycleSpec extends SparkSpec {
     assert(top === all.take(3))
   }
 
+  test("salted two-phase uniqueness equals the single-phase aggregate") {
+    val s = spark
+    import s.implicits._
+    val tok = TokenTable.tokens(spark, sf0001)
+    val rule = ruleSet.uniqueRules.head
+    val plain = Validator.uniqueViolations(tok, rule)
+      .as[(String, String, String, String, String)].collect().toSet
+    val salted = Validator.uniqueViolationsSalted(tok, rule, nSalt = 16)
+      .as[(String, String, String, String, String)].collect().toSet
+    assert(salted === plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("SequenceSource: snapshots and partitions behind one interface") {
+    val src = new graft.sources.ParquetSequenceSource(sf0001)
+    assert(src.snapshotIds(spark) === Seq(0L, 1L))
+    val full = src.read(spark, None).count()
+    val base = src.read(spark, Some(0L)).count()
+    assert(base < full && base > 0)
+    assert(src.partitions(spark).contains("A"))
+  }
+
   test("report inclusion + detail grouping") {
     val s = spark
     import s.implicits._
