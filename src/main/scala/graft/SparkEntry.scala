@@ -242,6 +242,19 @@ object Queries {
     DedupOps.simHashDuplicates(docs(spark, dir), maxHamming = 3)
       .orderBy("doc_a", "doc_b")
 
+  /** Exact 3-shingle Jaccard on consecutive-id pairs — the deterministic
+    * correctness anchor for the MinHash/LSH near-dup path (same exact-vs-
+    * sketch pairing as drift): every pair's Jaccard is recomputed by the
+    * oracle, while d_minhash_dups exercises the scale path (rows-only).
+    */
+  def dNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val pairs = d.select(col("doc_id").as("doc_a"),
+      (col("doc_id") + 1).as("doc_b"))
+    DedupOps.ngramJaccardPairs(d, pairs, w = 3)
+      .orderBy("doc_a")
+  }
+
   private def queryVec(spark: SparkSession, dir: String): Seq[Double] =
     embs(spark, dir).where(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
@@ -304,6 +317,7 @@ object Queries {
     "d_langid_accuracy" -> (dLangidAccuracy _),
     "d_fingerprint_dups" -> (dFingerprintDups _),
     "d_minhash_dups" -> (dMinhashDups _),
+    "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_simhash_dups" -> (dSimhashDups _),
     "e_knn_brute" -> (eKnnBrute _),
     "e_ann_lsh" -> (eAnnLsh _),
@@ -620,6 +634,22 @@ object Queries {
         |SELECT f.doc_id, f.fp, g.group_size, g.keeper,
         |       f.doc_id = g.keeper AS keep
         |FROM fp f JOIN g USING (fp) ORDER BY f.doc_id""".stripMargin,
+
+    "d_ngram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(ws) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(ws)-1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+        |    ELSE [coalesce(array_to_string(ws,' '), '')] END AS sh
+        |  FROM w)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |         len(list_distinct(a.sh || b.sh)) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
 
     "e_knn_brute" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
