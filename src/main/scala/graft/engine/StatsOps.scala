@@ -13,21 +13,33 @@ import org.apache.spark.sql.functions._
   */
 object StatsOps {
 
-  /** One-pass per-source stats over the token table.
+  /** Per-source stats over the token table.
     *
     * Numeric care for DuckDB-oracle parity: `avg` is only taken over integer
     * columns (exact long sum, then one double division — bit-identical in
     * both engines); no floating-point accumulation order dependence.
+    *
+    * Physical shape: string min/max (doc_id) forces SortAggregate (var-width
+    * buffer), so it runs as its own aggregate over a 2-column projection and
+    * joins the numeric HashAggregate on `source` — the sort then carries
+    * (source, doc_id) only instead of every stat input. Measured 2-core,
+    * 9.6M rows: 4.6s combined → 4.3s split (modest: the string sort itself
+    * dominates either way; the real win is the numeric side now scaling as
+    * a HashAggregate). At warehouse scale the string min/max would come
+    * free from parquet footer/Iceberg manifest metadata instead.
     */
-  def columnStats(tokens: DataFrame): DataFrame =
-    tokens.groupBy("source").agg(
+  def columnStats(tokens: DataFrame): DataFrame = {
+    val numeric = tokens.groupBy("source").agg(
       count(lit(1)).as("n_rows"),
       min(col("n_tok")).as("min_n_tok"),
       max(col("n_tok")).as("max_n_tok"),
       avg(col("n_tok")).as("avg_n_tok"),
-      sum(col("tokens").isNull.cast("long")).as("null_tokens"),
+      sum(col("tokens").isNull.cast("long")).as("null_tokens"))
+    val strings = tokens.select("source", "doc_id").groupBy("source").agg(
       min(col("doc_id")).as("min_doc_id"),
       max(col("doc_id")).as("max_doc_id"))
+    numeric.join(strings, Seq("source"))
+  }
 
   /** Distribution counts: total per source (main.py:276-278 analogue). */
   def totalsPerSource(tokens: DataFrame): DataFrame =
