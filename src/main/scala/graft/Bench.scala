@@ -57,12 +57,17 @@ object Bench {
     // Catalyst prune aggregates/joins the query actually performs
     // (observed: a left join's right subtree eliminated entirely under
     // count()), which would fake the numbers.
+    // a query that fails to plan or run is reported as -1, never as a
+    // (near-zero) wall time — a regression must not masquerade as a speedup
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) = timed {
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+      val (ok, sec) = timed {
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
       }
-      name -> sec
+      name -> (if (ok) sec else -1.0)
     }
     // authoritative metric: validated sequences/sec over the full pass.
     // Warm-up once (JIT + token-table materialization), then best of 3 —

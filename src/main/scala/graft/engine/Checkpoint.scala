@@ -73,25 +73,54 @@ object ValidationRunner {
     val pending = all.filterNot(done.toSet)
 
     if (pending.isEmpty) {
+      // only ok rows: a failed attempt appends status='error:…' rows with
+      // zeroed metrics; after a successful resume both generations coexist
+      // in the append-only manifest, so reconstruct from ok rows and keep
+      // one entry per partition
       val summary = Checkpoint.read(spark, manifestPath)
-        .where(col("snapshot_id") === snapshotId)
+        .where(col("snapshot_id") === snapshotId && col("status") === "ok")
+        .dropDuplicates("partition")
         .select(col("partition").as("source"), col("n_rows"),
           col("n_violations"), (col("n_violations") === 0).as("pass"))
       return RunResult(Nil, all, summary)
     }
 
-    // one job over all pending partitions (not a per-partition loop):
-    // the filter prunes partitions at the scan when stored by source
+    // fast path: one job over all pending partitions (not a per-partition
+    // loop) — the filter prunes partitions at the scan when stored by source
     val slice = tokens.where(col("source").isin(pending: _*))
     val t0 = System.nanoTime()
     val detailed = Validator.violations(slice, ruleSet, dims)
     val summary = Validator.summary(slice, detailed).cache()
     val rows = try summary.collect() catch {
-      case e: Throwable =>
-        Checkpoint.append(spark, manifestPath, pending.map(p =>
-          ManifestEntry(p, snapshotId, s"error:${e.getClass.getSimpleName}",
-            0L, 0L, 0L)))
-        throw e
+      case _: Throwable =>
+        // containment with attribution (reference behavior, main.py:225-263):
+        // the batched job failed somewhere — fall back to per-partition runs
+        // so the error is attributed to the partition that caused it and
+        // every healthy partition still completes and is checkpointed
+        val perPart = pending.map { p =>
+          val one = tokens.where(col("source") === lit(p))
+          val tp = System.nanoTime()
+          try {
+            val d = Validator.violations(one, ruleSet, dims)
+            val s = Validator.summary(one, d).collect()
+            val ms = (System.nanoTime() - tp) / 1000000
+            if (s.isEmpty) ManifestEntry(p, snapshotId, "ok", 0L, 0L, ms)
+            else ManifestEntry(p, snapshotId, "ok",
+              s.head.getLong(1), s.head.getLong(2), ms)
+          } catch {
+            case e: Throwable =>
+              ManifestEntry(p, snapshotId,
+                s"error:${e.getClass.getSimpleName}", 0L, 0L,
+                (System.nanoTime() - tp) / 1000000)
+          }
+        }
+        Checkpoint.append(spark, manifestPath, perPart)
+        val okParts = perPart.filter(_.status == "ok").map(_.partition)
+        import spark.implicits._
+        val recovered = perPart.filter(_.status == "ok")
+          .map(m => (m.partition, m.n_rows, m.n_violations, m.n_violations == 0))
+          .toDF("source", "n_rows", "n_violations", "pass")
+        return RunResult(okParts, done, recovered)
     }
     val wallMs = (System.nanoTime() - t0) / 1000000
     val entries = rows.map { r =>

@@ -85,16 +85,21 @@ object Drift {
     val baseTot = base.groupBy("source").agg(sum("base_cnt").as("base_tot"))
     // exact integer arithmetic throughout, one final division: the result is
     // bit-identical regardless of aggregation order (and engine) — summing
-    // double ratios would be order-dependent
+    // double ratios would be order-dependent. The cross products run in
+    // DecimalType(38,0): per-source token totals above ~3e9 would silently
+    // wrap a BIGINT product (non-ANSI mode) at the module's 10^12-row target.
+    val dec = "decimal(38,0)"
     cur.join(base, Seq("source", "bucket"), "full_outer")
       .join(curTot, Seq("source"), "left")
       .join(baseTot, Seq("source"), "left")
       .select(col("source"), col("cur_tot"), col("base_tot"),
-        abs(coalesce(col("cur_cnt"), lit(0L)) * col("base_tot") -
-          coalesce(col("base_cnt"), lit(0L)) * col("cur_tot")).as("num"))
+        abs(coalesce(col("cur_cnt"), lit(0L)).cast(dec) * col("base_tot").cast(dec) -
+          coalesce(col("base_cnt"), lit(0L)).cast(dec) * col("cur_tot").cast(dec))
+          .as("num"))
       .groupBy("source")
       .agg((sum(col("num")).cast("double") /
-        (max(col("cur_tot")) * max(col("base_tot"))).cast("double"))
+        (max(col("cur_tot")).cast(dec) * max(col("base_tot")).cast(dec))
+          .cast("double"))
         .as("l1_distance"))
   }
 }

@@ -115,14 +115,18 @@ object Validator {
     * a single reduce key would otherwise exceed executor memory. Output is
     * identical to [[uniqueViolations]] (asserted by ValidatorSpec).
     *
-    * The salt derives from per-row payload (hash of n_tok, source, tokens),
-    * not from randomness — reruns are deterministic and the same row always
-    * lands on the same salt bucket, which keeps the two-phase result exact.
+    * The salt derives from per-row payload (hash of n_tok, source, tokens)
+    * PLUS `spark_partition_id()`, not from randomness — reruns over the same
+    * layout are deterministic, and the partition-id term guarantees spread
+    * even for the classic exact-dup skew case where a hot key's rows are
+    * byte-identical (payload-only salt would collapse them all into ONE salt
+    * bucket, degenerating the two-phase split back to single-phase).
     */
   def uniqueViolationsSalted(
       df: DataFrame, rule: UniqueRule, nSalt: Int = 16): DataFrame = {
     val salted = df.withColumn("_salt",
-      pmod(hash(col("n_tok"), col("source"), col("tokens")), lit(nSalt)))
+      pmod(hash(col("n_tok"), col("source"), col("tokens"),
+        spark_partition_id()), lit(nSalt)))
     val phase1 = salted
       .groupBy(col(rule.column), col("_salt"))
       .agg(count(lit(1)).as("cnt1"), min(col("source")).as("src1"))

@@ -55,9 +55,11 @@ object StreamingValidation {
     * One `long` of state per distinct key, partitioned by key.
     *
     * Semantics vs batch [[Validator.uniqueViolations]]: batch reports each
-    * duplicated key once with its final count; the stream reports a key each
-    * time NEW duplicates arrive, carrying the running count — the natural
-    * incremental refinement (the final emission matches the batch count).
+    * duplicated key once with its final count and min(source) over ALL rows
+    * of the key; the stream reports a key each time NEW duplicates arrive,
+    * carrying the running count and the running global min(source) — the
+    * state keeps (count, minSource) so the final emission matches the batch
+    * row exactly, independent of arrival order.
     */
   def uniqueViolationStream(stream: DataFrame): Dataset[DetailedViolation] = {
     val spark = stream.sparkSession
@@ -66,15 +68,15 @@ object StreamingValidation {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (docId: String, rows: Iterator[(String, String)],
-         state: GroupState[Long]) => {
+         state: GroupState[(Long, String)]) => {
           val batch = rows.toSeq
-          val prev = state.getOption.getOrElse(0L)
-          val total = prev + batch.size
-          state.update(total)
+          val (prevCnt, prevMin) = state.getOption.getOrElse((0L, null: String))
+          val total = prevCnt + batch.size
+          val minSrc = (Option(prevMin) ++ batch.map(_._2)).min
+          state.update((total, minSrc))
           if (total > 1 && batch.nonEmpty)
             Iterator(DetailedViolation(docId, "unique_doc_id",
-              s"doc_id occurs $total times", "warning",
-              batch.map(_._2).min))
+              s"doc_id occurs $total times", "warning", minSrc))
           else Iterator.empty
         })
   }

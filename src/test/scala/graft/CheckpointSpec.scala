@@ -54,6 +54,52 @@ class CheckpointSpec extends SparkSpec {
     assert(r2.validatedPartitions.toSet === Set("A", "N", "R"))
   }
 
+  test("stale error rows never pollute the manifest-reconstructed summary") {
+    val dir = Files.createTempDirectory("graft-manifest4").toString + "/manifest"
+    // a failed earlier attempt left error rows with zeroed metrics
+    Checkpoint.append(spark, dir, Seq(
+      graft.model.ManifestEntry("A", 1L, "error:Boom", 0L, 0L, 0L),
+      graft.model.ManifestEntry("N", 1L, "error:Boom", 0L, 0L, 0L)))
+    // successful resume validates everything
+    ValidationRunner.runResumable(spark, fixture, ruleSet, dims, dir, 1L)
+    // all-done call reconstructs from the manifest: one ok row per partition
+    val r = ValidationRunner.runResumable(spark, fixture, ruleSet, dims, dir, 1L)
+    assert(r.validatedPartitions.isEmpty)
+    val rows = r.summary.collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    assert(rows.length === 3)
+    assert(rows.toSet === Set(("A", 2L, 1L, false), ("N", 1L, 0L, true),
+      ("R", 1L, 1L, false)))
+  }
+
+  test("a poison partition is contained: error attributed, others complete") {
+    val dir = Files.createTempDirectory("graft-manifest5").toString + "/manifest"
+    // runtime failure confined to partition R: evaluating n_tok throws there
+    // (source listing and the other partitions' scans never touch R rows
+    // once the per-partition filter is pushed below the projection)
+    val boom = udf((s: String, n: Int) =>
+      if (s == "R") throw new RuntimeException("poison") else n)
+    // block ConvertToLocalRelation (which would evaluate the UDF at plan
+    // time on the driver): read the rows back from a real parquet scan
+    val fdir = Files.createTempDirectory("graft-poison").toString + "/tok"
+    fixture.write.parquet(fdir)
+    val poisoned = spark.read.parquet(fdir)
+      .withColumn("n_tok", boom(col("source"), col("n_tok")))
+    val r = ValidationRunner.runResumable(
+      spark, poisoned, ruleSet, dims, dir, snapshotId = 2L)
+    // R failed and is attributed; A and N completed and are checkpointed
+    val m = Checkpoint.read(spark, dir).collect()
+      .map(x => (x.getAs[String]("partition"), x.getAs[String]("status")))
+      .toMap
+    assert(m("A") === "ok")
+    assert(m("N") === "ok")
+    assert(m("R").startsWith("error:"))
+    assert(r.validatedPartitions.toSet === Set("A", "N"))
+    // resume skips the healthy partitions and retries only R
+    val done = Checkpoint.completedPartitions(spark, dir, 2L)
+    assert(done.toSet === Set("A", "N"))
+  }
+
   test("manifest records per-partition lineage + metrics") {
     val dir = Files.createTempDirectory("graft-manifest3").toString + "/manifest"
     ValidationRunner.runResumable(spark, fixture, ruleSet, dims, dir, 1L)

@@ -112,6 +112,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("salted uniqueness equals unsalted, even for byte-identical hot keys") {
+    val s = spark
+    import s.implicits._
+    // the classic exact-dup skew case: one hot key whose duplicate rows are
+    // byte-identical — a payload-only salt collapses them into one bucket
+    val hot = Seq.fill(400)(TokenRow("hot", Array(1, 2, 3), 3, "A"))
+    val rest = (1 to 50).map(i => TokenRow(s"d$i", Array(i), 1, "N"))
+    val df = s.createDataset(hot ++ rest).toDF().repartition(8)
+    val rule = graft.rules.UniqueRule("unique_doc_id", "doc_id",
+      severity = "warning")
+    val unsalted = Validator.uniqueViolations(df, rule)
+      .as[(String, String, String, String, String)].collect().toSet
+    val salted = Validator.uniqueViolationsSalted(df, rule, nSalt = 16)
+      .as[(String, String, String, String, String)].collect().toSet
+    assert(salted === unsalted)
+    assert(salted.exists(_._1 == "hot"))
+    // the salt must actually spread the byte-identical hot key: the
+    // partition-id term guarantees > 1 distinct salt across 8 partitions
+    val spread = df.where(col("doc_id") === "hot")
+      .select(pmod(hash(col("n_tok"), col("source"), col("tokens"),
+        spark_partition_id()), lit(16)).as("salt"))
+      .distinct().count()
+    assert(spread > 1, s"hot key landed on $spread salt bucket(s)")
+  }
+
   test("KLL median within rank-error bound of exact, any partitioning") {
     val s = spark
     import s.implicits._

@@ -78,6 +78,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming uniqueness reports the global min(source), not the batch min") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[In]
+    val out = StreamingValidation.uniqueViolationStream(mem.toDF())
+    val q = out.writeStream.format("memory").queryName("su_minsrc")
+      .outputMode("append").start()
+    try {
+      // first occurrence arrives with the LOWER source; the duplicate batch
+      // carries only the higher one — batch-local min would emit "R"
+      mem.addData(In("m", Seq(1), 1, "A"))
+      q.processAllAvailable()
+      mem.addData(In("m", Seq(1), 1, "R"))
+      q.processAllAvailable()
+      val got = spark.table("su_minsrc")
+        .select("doc_id", "source").as[(String, String)].collect().toSeq
+      assert(got === Seq(("m", "A")))
+    } finally q.stop()
+  }
+
   test("windowed sketch drift emits closed windows with correct verdicts") {
     val s = spark
     import s.implicits._
