@@ -86,6 +86,27 @@ object Queries {
         k = 200, Seq(0.5, 0.95), threshold = 2.0)
       .orderBy("source")
 
+  /** Error-bound anchor for the KLL sketch drift (VERDICT r1 #2): the exact
+    * per-source deltas (oracle-recomputed) + a pinned bound asserting the
+    * sketch's max delta lies within ±2.0 of the exact max delta — the
+    * value-space image of the KLL rank-error guarantee on this integer
+    * column (KllSpec pins the rank bound itself).
+    */
+  def vDriftSketchBound(spark: SparkSession, dir: String): DataFrame = {
+    val exact = graft.engine.Drift.exactQuantileDrift(
+      tok(spark, dir), baselineTok(spark, dir), "n_tok",
+      Seq(0.5, 0.95), threshold = 1.0)
+    val sketch = graft.engine.Drift.sketchQuantileDrift(
+      tok(spark, dir), baselineTok(spark, dir), "n_tok",
+      k = 200, Seq(0.5, 0.95), threshold = 2.0)
+    exact.select(col("source"), col("delta_q0"), col("delta_q1"))
+      .join(sketch.select(col("source"), col("max_delta")), Seq("source"))
+      .select(col("source"), col("delta_q0"), col("delta_q1"),
+        (abs(col("max_delta") - greatest(col("delta_q0"), col("delta_q1")))
+          <= 2.0).as("sketch_within_bound"))
+      .orderBy("source")
+  }
+
   def vTokenHistDrift(spark: SparkSession, dir: String): DataFrame =
     graft.engine.Drift.tokenHistogramDrift(
         tok(spark, dir), baselineTok(spark, dir), bucketSize = 1000)
@@ -213,7 +234,7 @@ object Queries {
 
   // ---- training-data pipeline queries (documents / embeddings) -------------
 
-  import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+  import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps, VectorIndex}
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -255,27 +276,135 @@ object Queries {
       .orderBy("doc_a")
   }
 
+  /** Embedding table augmented with deterministic near-copies: vectors with
+    * vec_id % 5 == 0 get two perturbed clones (ids offset by c·100000,
+    * component j shifted by a closed-form ±0.04 term), giving the corpus
+    * true near-duplicates at cos ≈ 0.995 — the regime banded LSH is built
+    * for — while staying exactly replicable by the DuckDB oracle.
+    */
+  private def embsAug(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    // two-stage select: naming the id expression "vec_id" in the SAME select
+    // would lateral-alias-capture the reference inside the transform lambda
+    // (Spark 4 resolves same-select aliases before input columns)
+    val copies = e.where(col("vec_id") % 5 === 0)
+      .crossJoin(spark.range(1, 3).toDF("c"))
+      .select(col("vec_id").as("base_id"), col("c"), col("embedding"))
+      .select((col("c") * 100000 + col("base_id")).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          x + ((col("base_id") * 31 + col("c") * 17 + j * 13) % 21 - 10)
+            .cast("double") * lit(0.002)).as("embedding"))
+    e.unionByName(copies)
+  }
+
+  /** Recall anchor for MinHash LSH: exact all-pairs Jaccard ≥ 0.5 on a
+    * bounded doc slice (oracle-recomputed count) + a pinned ≥0.9 recall
+    * bound on the LSH candidate pairs (which are themselves exact-verified,
+    * so found ⊆ exact by construction and recall = |found| / |exact|).
+    */
+  def dMinhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).where(col("doc_id") < 500)
+    val sh = d.select(col("doc_id"),
+      array_distinct(DedupOps.shingles(col("text"), 3)).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val exact = a.join(b, col("doc_a") < col("doc_b"))
+      .where(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.5)
+    val found = DedupOps.minHashDuplicates(d, threshold = 0.5)
+    exact.agg(count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(found.agg(count(lit(1)).as("nf")))
+      .select(col("n_exact_pairs"),
+        (col("nf") >= col("n_exact_pairs") * 0.9).as("recall_ok"))
+  }
+
+  /** Recall anchor for SimHash: pairs with IDENTICAL word sets (equal
+    * canonical fingerprints — the oracle-recomputable ground truth) have
+    * equal simhashes by construction, so the banded Hamming search must
+    * recall every one of them: recall is pinned at exactly 1.0.
+    */
+  def dSimhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val fp = graft.operators.TextOps.fingerprints(docs(spark, dir))
+    val a = fp.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = fp.select(col("fp"), col("doc_id").as("doc_b"))
+    val exact = a.join(b, Seq("fp")).where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val found = DedupOps.simHashDuplicates(docs(spark, dir), maxHamming = 3)
+      .select("doc_a", "doc_b")
+    val hit = exact.join(found, Seq("doc_a", "doc_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(hit.agg(count(lit(1)).as("nh")))
+      .select(col("n_exact_pairs"),
+        (col("nh") === col("n_exact_pairs")).as("recall_ok"))
+  }
+
   private def queryVec(spark: SparkSession, dir: String): Seq[Double] =
     embs(spark, dir).where(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
       .first().getSeq[Double](0).toSeq
 
+  private def vecTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9.]", "_")
+
   def eKnnBrute(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.bruteForceTopK(embs(spark, dir), queryVec(spark, dir), 10)
       .select("vec_id").orderBy("vec_id")
 
-  def eAnnLsh(spark: SparkSession, dir: String): DataFrame =
-    SimilarityOps.lshTopK(embs(spark, dir), queryVec(spark, dir), 10)
-      .select("vec_id", "cos").orderBy("vec_id")
+  /** ANN over the MATERIALIZED IVF index: partition-pruned probe of the
+    * nProbe nearest centroid lists (VERDICT r1 #1). The oracle replicates
+    * the entire index in closed form (deterministic centroids = lowest
+    * vec_ids, argmax-cosine assignment, top-nProbe probe).
+    */
+  def eAnnIvfIdx(spark: SparkSession, dir: String): DataFrame = {
+    val (idx, cent) = VectorIndex.ivf(spark, embs(spark, dir), vecTag(dir), 8)
+    VectorIndex.ivfTopK(spark, idx, cent, queryVec(spark, dir), 10, nProbe = 2)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("vec_id")
+  }
 
-  def eAnnIvf(spark: SparkSession, dir: String): DataFrame =
-    SimilarityOps.ivfTopK(embs(spark, dir), queryVec(spark, dir), 10)
-      .select("vec_id", "cos").orderBy("vec_id")
+  /** ANN over the MATERIALIZED banded-LSH index: equality probes of the
+    * query's (band_id, band_key) buckets — `bands` partitions read, nothing
+    * else. k=3 targets the injected near-copies of vec 0 (cos ≥ 0.995),
+    * where the banded probe provably recalls the true top-k (miss
+    * probability ≤ 6·10⁻⁶ per copy); oracle = exact brute-force top-3.
+    */
+  def eAnnLshIdx(spark: SparkSession, dir: String): DataFrame = {
+    val idx = VectorIndex.lsh(spark, embsAug(spark, dir), s"${vecTag(dir)}_aug",
+      bands = 8, rowsPerBand = 8)
+    VectorIndex.lshTopK(spark, idx, queryVec(spark, dir), 3,
+        bands = 8, rowsPerBand = 8)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("vec_id")
+  }
 
+  /** Banded-LSH near-duplicates over the augmented table at cos ≥ 0.99 —
+    * candidate pairs from shared band buckets, exact-cosine verified; the
+    * oracle recomputes the full exact pair set (LSH recall at this regime
+    * makes the sets equal; e_near_dup_recall pins the bound explicitly).
+    */
   def eNearDup(spark: SparkSession, dir: String): DataFrame =
-    DedupOps.embeddingNearDuplicates(embs(spark, dir), nPlanes = 8,
-        threshold = 0.4)
+    DedupOps.embeddingNearDuplicates(embsAug(spark, dir),
+        bands = 8, rowsPerBand = 8, threshold = 0.99)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
       .orderBy("vec_a", "vec_b")
+
+  /** Recall anchor for the embedding near-dup path: exact all-pairs count
+    * (oracle-recomputed) + a pinned ≥0.95 recall bound on what LSH found.
+    */
+  def eNearDupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val aug = embsAug(spark, dir)
+    val a = aug.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = aug.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val exact = a.join(b, col("vec_a") < col("vec_b"))
+      .where(SimilarityOps.cosine(col("emb_a"), col("emb_b")) >= 0.99)
+    val found = DedupOps.embeddingNearDuplicates(aug,
+      bands = 8, rowsPerBand = 8, threshold = 0.99)
+    exact.agg(count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(found.agg(count(lit(1)).as("nf")))
+      .select(col("n_exact_pairs"),
+        (col("nf") >= col("n_exact_pairs") * 0.95).as("recall_ok"))
+  }
 
   def mMediaFeatures(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.decodeFeatures(spark,
@@ -296,6 +425,7 @@ object Queries {
     "v_resume_pending" -> (vResumePending _),
     "v_drift_exact" -> (vDriftExact _),
     "v_drift_sketch" -> (vDriftSketch _),
+    "v_drift_sketch_bound" -> (vDriftSketchBound _),
     "v_token_hist_drift" -> (vTokenHistDrift _),
     "r_severity_sorted" -> (rSeveritySorted _),
     "r_fdpg_split" -> (rFdpgSplit _),
@@ -317,18 +447,56 @@ object Queries {
     "d_langid_accuracy" -> (dLangidAccuracy _),
     "d_fingerprint_dups" -> (dFingerprintDups _),
     "d_minhash_dups" -> (dMinhashDups _),
+    "d_minhash_recall" -> (dMinhashRecall _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_simhash_dups" -> (dSimhashDups _),
+    "d_simhash_recall" -> (dSimhashRecall _),
     "e_knn_brute" -> (eKnnBrute _),
-    "e_ann_lsh" -> (eAnnLsh _),
-    "e_ann_ivf" -> (eAnnIvf _),
+    "e_ann_lsh_idx" -> (eAnnLshIdx _),
+    "e_ann_ivf_idx" -> (eAnnIvfIdx _),
     "e_near_dup" -> (eNearDup _),
+    "e_near_dup_recall" -> (eNearDupRecall _),
     "m_media_features" -> (mMediaFeatures _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
 
   private val cte = TokenTable.duckCte
+
+  /** DuckDB replica of [[embsAug]] — integer arithmetic + one double
+    * multiply/add per component, in the same order as the Spark expression,
+    * so both engines produce bit-identical vectors.
+    */
+  private val augCte: String =
+    """aug AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT 100000*c + vec_id,
+      |         list_transform(range(1, len(embedding)+1),
+      |           j -> CAST(embedding[j] AS DOUBLE) +
+      |                CAST(((vec_id*31 + c*17 + (j-1)*13) % 21) - 10 AS DOUBLE)
+      |                  * CAST(0.002 AS DOUBLE))
+      |  FROM embeddings, (VALUES (1), (2)) AS t(c)
+      |  WHERE vec_id % 5 = 0
+      |)""".stripMargin
+
+  private def duckCos(a: String, b: String): String =
+    s"""(list_dot_product($a, $b) /
+       | (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))""".stripMargin
+
+  /** Distinct 3-shingle CTE over `documents` (shared by the exact-Jaccard
+    * oracles): `sh3(doc_id, sh)`.
+    */
+  private val shingleCte: String =
+    """w AS (
+      |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |sh3 AS (
+      |  SELECT doc_id, CASE WHEN len(ws) >= 3
+      |    THEN list_distinct(list_transform(range(1, len(ws)-1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |    ELSE [coalesce(array_to_string(ws,' '), '')] END AS sh
+      |  FROM w)""".stripMargin
 
   /** All violations as a DuckDB CTE `v(doc_id, rule_id, detail, severity,
     * source)` — the closed-form recomputation of the injected violations.
@@ -661,6 +829,103 @@ object Queries {
         |          sqrt(list_dot_product((SELECT qe FROM q), (SELECT qe FROM q)))) AS cos
         |  FROM embeddings ORDER BY cos DESC, vec_id LIMIT 10)
         |ORDER BY vec_id""".stripMargin,
+
+    // IVF replicated in closed form: deterministic centroids (8 lowest
+    // vec_ids), argmax-cosine assignment, top-2 probed lists, exact top-10
+    "e_ann_ivf_idx" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |             FROM embeddings),
+         |cent AS (SELECT vec_id AS centroid_id, e AS ce FROM emb
+         |         ORDER BY vec_id LIMIT 8),
+         |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT emb.vec_id, cent.centroid_id,
+         |           row_number() OVER (PARTITION BY emb.vec_id
+         |             ORDER BY ${duckCos("emb.e", "cent.ce")} DESC, cent.centroid_id) AS rn
+         |    FROM emb CROSS JOIN cent) WHERE rn = 1),
+         |probed AS (
+         |  SELECT centroid_id FROM cent
+         |  ORDER BY ${duckCos("ce", "(SELECT qe FROM q)")} DESC, centroid_id
+         |  LIMIT 2)
+         |SELECT vec_id, round(cos, 6) AS cos FROM (
+         |  SELECT emb.vec_id, ${duckCos("emb.e", "(SELECT qe FROM q)")} AS cos
+         |  FROM emb JOIN assign USING (vec_id) JOIN probed USING (centroid_id)
+         |  ORDER BY cos DESC, vec_id LIMIT 10)
+         |ORDER BY vec_id""".stripMargin,
+
+    // the banded probe provably recalls the cos≥0.995 injected copies, so
+    // the index result IS the exact top-3 over the augmented table
+    "e_ann_lsh_idx" ->
+      s"""WITH $augCte,
+         |q AS (SELECT embedding AS qe FROM aug WHERE vec_id = 0)
+         |SELECT vec_id, round(cos, 6) AS cos FROM (
+         |  SELECT vec_id, ${duckCos("embedding", "(SELECT qe FROM q)")} AS cos
+         |  FROM aug ORDER BY cos DESC, vec_id LIMIT 3)
+         |ORDER BY vec_id""".stripMargin,
+
+    "e_near_dup" ->
+      s"""WITH $augCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       round(${duckCos("a.embedding", "b.embedding")}, 6) AS cos
+         |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+         |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.99
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "e_near_dup_recall" ->
+      s"""WITH $augCte
+         |SELECT count(*) AS n_exact_pairs, TRUE AS recall_ok
+         |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+         |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.99""".stripMargin,
+
+    // MinHash LSH candidates are exact-Jaccard verified and (at this corpus
+    // and banding) recall every exact pair — the full exact pair set is the
+    // oracle; d_minhash_recall pins the recall bound explicitly
+    "d_minhash_dups" ->
+      s"""WITH $shingleCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |         len(list_distinct(a.sh || b.sh)) AS jaccard
+         |FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(a.sh || b.sh)) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d_minhash_recall" ->
+      s"""WITH $shingleCte
+         |SELECT count(*) AS n_exact_pairs, TRUE AS recall_ok
+         |FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+         |WHERE a.doc_id < 500 AND b.doc_id < 500
+         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
+
+    // ground truth = identical word sets (equal canonical fingerprints);
+    // equal sets ⇒ equal simhashes ⇒ Hamming 0 ⇒ recall pinned at 1.0
+    "d_simhash_recall" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(list_sort(list_distinct(
+        |           list_filter(string_split(text, ' '), w -> w <> ''))), ' ')) AS fp
+        |  FROM documents)
+        |SELECT count(*) AS n_exact_pairs, TRUE AS recall_ok
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,
+
+    "v_drift_sketch_bound" ->
+      s"""WITH $cte,
+         |cur AS (SELECT source,
+         |               quantile_cont(n_tok, 0.5) AS q0,
+         |               quantile_cont(n_tok, 0.95) AS q1
+         |        FROM tok GROUP BY source),
+         |base AS (SELECT source,
+         |               quantile_cont(n_tok, 0.5) AS q0,
+         |               quantile_cont(n_tok, 0.95) AS q1
+         |        FROM tok WHERE okey % 2 = 0 GROUP BY source)
+         |SELECT cur.source,
+         |       abs(cur.q0 - base.q0) AS delta_q0,
+         |       abs(cur.q1 - base.q1) AS delta_q1,
+         |       TRUE AS sketch_within_bound
+         |FROM cur JOIN base USING (source)
+         |ORDER BY source""".stripMargin,
 
     "m_media_features" ->
       """SELECT doc_id,

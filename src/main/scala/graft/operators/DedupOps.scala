@@ -21,6 +21,43 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
+  // ---- hot-bucket guard ---------------------------------------------------
+
+  /** Drop LSH buckets larger than `cap` before the candidate self-join.
+    *
+    * The self-join on a bucket key is quadratic WITHIN a bucket: one
+    * degenerate key (boilerplate docs, an all-identical band) produces
+    * O(n²) candidate rows that no AQE skew-split can cap — skew handling
+    * splits the partition, not the row count. Capping is the standard
+    * production guard: a bucket over `cap` is by definition not a useful
+    * near-dup signal (its members are caught by the exact-dup pass), so it
+    * is dropped whole. `oversizedBuckets` reports what was dropped so the
+    * pipeline can surface it (cf. the reference's explicit known-issue
+    * allowlist, /root/reference/extraction/test/test_profiles.py:166-180).
+    *
+    * Cost: one extra two-phase count aggregate (map-side combine collapses
+    * each bucket to one partial per task) + a broadcast anti-join against
+    * the — by construction tiny — set of oversized keys.
+    */
+  private def capBuckets(
+      b: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    log.info(s"LSH bucket cap = $cap on keys ${keyCols.mkString(",")}")
+    val hot = oversizedBuckets(b, keyCols, cap).select(keyCols.map(col): _*)
+    b.join(broadcast(hot), keyCols, "left_anti")
+  }
+
+  /** The buckets the guard would drop: (keyCols…, bucket_n). Empty on
+    * healthy data; monitor/log it in production.
+    */
+  def oversizedBuckets(
+      b: DataFrame, keyCols: Seq[String], cap: Int): DataFrame =
+    b.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > cap)
+
   // ---- exact -----------------------------------------------------------
 
   /** Exact duplicate groups by fingerprint; keeper = min(doc_id).
@@ -84,8 +121,10 @@ object DedupOps {
     * deduped across bands.
     */
   def minHashCandidates(
-      docs: DataFrame, w: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val b = minHashBands(docs, w, bands, rowsPerBand)
+      docs: DataFrame, w: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+      bucketCap: Int = 1000): DataFrame = {
+    val b = capBuckets(minHashBands(docs, w, bands, rowsPerBand),
+      Seq("band_id", "band_key"), bucketCap)
     val l = b.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
     val r = b.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
     l.join(r, Seq("band_id", "band_key"))
@@ -141,15 +180,17 @@ object DedupOps {
     * (any pair within Hamming distance 3 of 64 bits shares at least one
     * exact chunk by pigeonhole), verify Hamming ≤ maxHamming via bit_count.
     */
-  def simHashDuplicates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simHashDuplicates(
+      docs: DataFrame, maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame = {
     val s = simHash(docs)
-    val chunks = s.select(col("doc_id"), col("simhash"),
+    val chunks0 = s.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk_id"),
           shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)
             .as("chunk_key"))): _*)).as("ch"))
       .select(col("doc_id"), col("simhash"),
         col("ch.chunk_id"), col("ch.chunk_key"))
+    val chunks = capBuckets(chunks0, Seq("chunk_id", "chunk_key"), bucketCap)
     val l = chunks.select(col("chunk_id"), col("chunk_key"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val r = chunks.select(col("chunk_id"), col("chunk_key"),
@@ -164,19 +205,54 @@ object DedupOps {
 
   // ---- embedding near-dup -------------------------------------------------
 
-  /** Cosine near-duplicates via deterministic hyperplane LSH (see
-    * [[SimilarityOps.hyperplaneSignature]]) + exact cosine verify.
+  /** Banded hyperplane-LSH bucketing of an embedding table:
+    * (vec_id, band_id, band_key) where band b's key is bits
+    * [b·r, (b+1)·r) of the `bands·rowsPerBand`-plane signature — the
+    * multi-table LSH layout (each band is one hash table; a pair at angle θ
+    * collides in ≥1 band with probability 1-(1-(1-θ/π)^r)^b).
+    */
+  def embeddingBands(
+      embeddings: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands * rowsPerBand <= 64, "signature packs into one long")
+    val sig = embeddings.select(col("vec_id"),
+      SimilarityOps.hyperplaneSignature(col("embedding"), bands * rowsPerBand)
+        .as("sig"))
+    sig.select(col("vec_id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band_id"),
+            shiftright(col("sig"), b * rowsPerBand)
+              .bitwiseAND(lit((1L << rowsPerBand) - 1)).as("band_key"))): _*))
+          .as("b"))
+      .select(col("vec_id"), col("b.band_id"), col("b.band_key"))
+  }
+
+  /** Cosine near-duplicates via banded hyperplane LSH + exact cosine verify.
+    *
+    * Candidate generation is one shuffle keyed by (band_id, band_key) —
+    * never an all-pairs join; the bands carry only vec_ids, embeddings are
+    * looked up once per DISTINCT candidate pair for the exact verify.
+    * Default 8 bands × 8 rows targets the near-duplicate regime
+    * (cos ≥ 0.99 ⇒ collision probability ≥ 1 - 6·10⁻⁶); single-table LSH
+    * with one full-signature key (the previous shape) has <10% recall for
+    * anything below cos ≈ 0.98.
     */
   def embeddingNearDuplicates(
-      embeddings: DataFrame, nPlanes: Int = 16, threshold: Double = 0.95): DataFrame = {
-    val sig = embeddings.select(col("vec_id"), col("embedding"),
-      SimilarityOps.hyperplaneSignature(col("embedding"), nPlanes).as("sig"))
-    val l = sig.select(col("sig"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"))
-    val r = sig.select(col("sig"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"))
-    l.join(r, Seq("sig"))
+      embeddings: DataFrame, bands: Int = 8, rowsPerBand: Int = 8,
+      threshold: Double = 0.99, bucketCap: Int = 1000): DataFrame = {
+    val banded = capBuckets(embeddingBands(embeddings, bands, rowsPerBand),
+      Seq("band_id", "band_key"), bucketCap)
+    val l = banded.select(col("band_id"), col("band_key"),
+      col("vec_id").as("vec_a"))
+    val r = banded.select(col("band_id"), col("band_key"),
+      col("vec_id").as("vec_b"))
+    val pairs = l.join(r, Seq("band_id", "band_key"))
       .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    pairs
+      .join(embeddings.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a")), Seq("vec_a"))
+      .join(embeddings.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         SimilarityOps.cosine(col("emb_a"), col("emb_b")).as("cos"))
       .where(col("cos") >= threshold)

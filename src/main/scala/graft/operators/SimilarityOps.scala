@@ -67,6 +67,10 @@ object SimilarityOps {
 
   /** ANN: restrict to vectors whose LSH signature is within `probeHamming`
     * bits of the query signature, then exact cosine on the survivors.
+    *
+    * Scale note: recomputes every signature per query (prunes compute, not
+    * I/O). The production path is [[VectorIndex.lsh]]/[[VectorIndex.lshTopK]]
+    * — stored banded signatures, partition-pruned equality probes.
     */
   def lshTopK(
       embeddings: DataFrame, query: Seq[Double], k: Int,
@@ -82,21 +86,28 @@ object SimilarityOps {
       .limit(k)
   }
 
-  /** IVF index: assign every vector to its nearest centroid (centroids =
-    * the `nCentroids` lowest vec_ids — a deterministic coarse sample; a
-    * real deployment would k-means them). Returns (vec_id, centroid_id).
-    * The assignment is a broadcast join: |centroids| ≪ |vectors|.
+  /** Coarse centroids = the `nCentroids` lowest vec_ids — a deterministic
+    * sample, chosen over k-means so the DuckDB oracle can replicate the
+    * entire IVF index in closed form; a production build would run a few
+    * Lloyd iterations here without changing any downstream shape.
     */
-  def ivfAssign(embeddings: DataFrame, nCentroids: Int): DataFrame = {
-    val centroids = embeddings.orderBy("vec_id").limit(nCentroids)
+  def centroids(embeddings: DataFrame, nCentroids: Int): DataFrame =
+    embeddings.orderBy("vec_id").limit(nCentroids)
       .select(col("vec_id").as("centroid_id"),
         col("embedding").as("centroid"))
+
+  /** IVF assignment: every vector to its nearest centroid.
+    * Returns (vec_id, centroid_id). The assignment is a broadcast join:
+    * |centroids| ≪ |vectors|.
+    */
+  def ivfAssign(embeddings: DataFrame, nCentroids: Int): DataFrame = {
+    val cents = centroids(embeddings, nCentroids)
     // arg-max via max_by, not a row_number window: the window would shuffle
     // all |V|×C scored rows by vec_id; max_by partial-aggregates map-side so
     // only one (best-so-far) row per vector crosses the exchange — the
     // difference between shipping C× the table and 1× at cluster scale.
     // Tie-break to the LOWEST centroid_id by negating it in the ordering.
-    embeddings.crossJoin(broadcast(centroids))
+    embeddings.crossJoin(broadcast(cents))
       .select(col("vec_id"),
         col("centroid_id"),
         cosine(col("embedding"), col("centroid")).as("sim"))
@@ -105,17 +116,21 @@ object SimilarityOps {
         struct(col("sim"), -col("centroid_id"))).as("centroid_id"))
   }
 
-  /** IVF query: probe the `nProbe` centroids nearest the query, exact
-    * cosine within their lists only.
+  /** IVF query over an UNMATERIALIZED assignment: probe the `nProbe`
+    * centroids nearest the query, exact cosine within their lists only.
+    *
+    * Scale note: this recomputes the assignment and re-shuffles the table
+    * per query — fine for a one-shot job, wrong for a query workload. The
+    * production path is [[VectorIndex.ivf]]/[[VectorIndex.ivfTopK]], which
+    * materializes the assignment partitioned by centroid_id so a probe is
+    * a partition-pruned read.
     */
   def ivfTopK(
       embeddings: DataFrame, query: Seq[Double], k: Int,
       nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
     val q = lit(query.toArray)
     val assign = ivfAssign(embeddings, nCentroids)
-    val centroids = embeddings.orderBy("vec_id").limit(nCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
-    val probed = centroids
+    val probed = centroids(embeddings, nCentroids)
       .select(col("centroid_id"), cosine(col("centroid"), q).as("sim"))
       .orderBy(col("sim").desc, col("centroid_id"))
       .limit(nProbe)

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, SimilarityOps, VectorIndex}
+
+/** Materialized ANN index behavior: partition-pruned probes (the 100 TB
+  * property — a probe reads the probed directories, not the table) and
+  * agreement with the exact brute-force path.
+  */
+class IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = spark.read
+    .parquet(s"$sf0001/embeddings.parquet")
+
+  private lazy val qv: Seq[Double] = embs.where(col("vec_id") === 0)
+    .select(col("embedding").cast("array<double>"))
+    .first().getSeq[Double](0).toSeq
+
+  test("ivf probe is a partition-pruned scan of the stored index") {
+    val (idx, cent) = VectorIndex.ivf(spark, embs, "spec0001", 8)
+    // physical layout: one directory per centroid list
+    val dirs = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("centroid_id="))
+    assert(dirs.length === 8)
+    val q = VectorIndex.ivfTopK(spark, idx, cent, qv, k = 10, nProbe = 2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    assert(plan.contains("centroid_id"), plan.take(2000))
+    // the probe predicate must land in PartitionFilters (directory pruning),
+    // not in the post-scan data filters
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("IN") || pf.contains("in("), pf)
+  }
+
+  test("ivf with all centroids probed equals exact brute force") {
+    val (idx, cent) = VectorIndex.ivf(spark, embs, "spec0001", 8)
+    val viaIndex = VectorIndex.ivfTopK(spark, idx, cent, qv, 10, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSeq.sorted
+    val brute = SimilarityOps.bruteForceTopK(embs, qv, 10)
+      .select("vec_id").as[Long].collect().toSeq.sorted
+    assert(viaIndex === brute)
+  }
+
+  test("lsh probe reads only the query's band buckets and finds near copies") {
+    // near-copies of vec 0 guarantee the probed buckets hold the true top-k
+    val copies = embs.where(col("vec_id") === 0)
+      .select(lit(9001L).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x + lit(0.001)).as("embedding"))
+    val aug = embs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(copies)
+    val idx = VectorIndex.lsh(spark, aug, "spec0001aug", bands = 8, rowsPerBand = 8)
+    val q = VectorIndex.lshTopK(spark, idx, qv, k = 2, bands = 8, rowsPerBand = 8)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    assert(plan.contains("band_id"), plan.take(2000))
+    val got = q.select("vec_id").as[Long].collect().toSet
+    assert(got === Set(0L, 9001L))
+  }
+
+  test("oversized-bucket guard reports what the candidate join drops") {
+    val clones = (1L to 120L).map(i => (i, "w x y z " * 5)).toDF("doc_id", "text")
+    val dropped = DedupOps.oversizedBuckets(
+      DedupOps.minHashBands(clones, 3, 4, 4), Seq("band_id", "band_key"), 100)
+    assert(dropped.count() === 4)
+  }
+}

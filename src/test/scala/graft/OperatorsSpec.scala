@@ -75,6 +75,44 @@ class DedupOpsSpec extends SparkSpec {
     assert(j((1L, 4L)) === 0.0)
   }
 
+  test("hot-bucket guard: adversarial identical corpus stays O(n·cap)") {
+    // 300 byte-identical docs: every band key is identical, so the
+    // unguarded self-join would emit 300·299/2 ≈ 45k candidate pairs
+    val degenerate = (1L to 300L).map(i => (i, "a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    val capped = DedupOps.minHashCandidates(degenerate, bucketCap = 50)
+    assert(capped.count() === 0) // dropped whole — exact-dup pass owns these
+    val dropped = DedupOps.oversizedBuckets(
+      DedupOps.minHashBands(degenerate, 3, 4, 4),
+      Seq("band_id", "band_key"), 50).collect()
+    assert(dropped.length === 4) // one oversized bucket per band
+    assert(dropped.forall(_.getAs[Long]("bucket_n") === 300L))
+    // simhash guard: same corpus, same containment
+    assert(DedupOps.simHashDuplicates(degenerate, bucketCap = 50).count() === 0)
+    // healthy data is untouched by the guard
+    val pairs = DedupOps.minHashCandidates(docs, bucketCap = 50)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("banded embedding LSH finds high-cos pairs and respects the cap") {
+    // vec 10/11 nearly identical; vec 12 orthogonal-ish
+    val e = Seq(
+      (10L, Array.tabulate(16)(i => 0.25f + 0.001f * i)),
+      (11L, Array.tabulate(16)(i => 0.25f + 0.001f * i + 0.002f)),
+      (12L, Array.tabulate(16)(i => if (i % 2 == 0) 0.35f else -0.35f))
+    ).toDF("vec_id", "embedding")
+    val got = DedupOps.embeddingNearDuplicates(e, threshold = 0.99)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((10L, 11L)))
+    // degenerate: many copies of one vector → bucket capped, no blowup
+    val clones = (1L to 200L)
+      .map(i => (i, Array.tabulate(16)(j => 0.25f)))
+      .toDF("vec_id", "embedding")
+    assert(DedupOps.embeddingNearDuplicates(clones, bucketCap = 50)
+      .count() === 0)
+  }
+
   test("simhash: identical docs collide; hamming grows with difference") {
     val s = DedupOps.simHash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
