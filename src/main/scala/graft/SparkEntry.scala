@@ -140,6 +140,49 @@ object Queries {
         StatsOps.lengthHistogram(tok(spark, dir)), (0L to 6L))
       .orderBy("source")
 
+  /** Routed multi-rule-set pass (§2 rows 8/15, VERDICT r1 #4): source 'R'
+    * is routed to a lenient 2-rule set, everything else gets the strict
+    * default — parsed from the same JSON shape as the reference's
+    * validation_mapping.json, evaluated in ONE scan with per-rule source
+    * gates; uniqueness/referential run per routed slice.
+    */
+  private val routingJson: String =
+    """{ "ruleSets": {
+      |    "strict": [
+      |      {"type":"notNull","id":"not_null_tokens","column":"tokens","severity":"fatal"},
+      |      {"type":"notNull","id":"not_null_source","column":"source","severity":"fatal"},
+      |      {"type":"lengthConsistency","id":"len_consistency","arrayColumn":"tokens","lengthColumn":"n_tok"},
+      |      {"type":"tokenBounds","id":"token_bounds","arrayColumn":"tokens","lo":0,"hi":50000,"severity":"warning"},
+      |      {"type":"range","id":"n_tok_range","column":"n_tok","lo":1,"hi":1048576,"severity":"warning"},
+      |      {"type":"referential","id":"ref_source","column":"source","dimension":"allowed_sources"},
+      |      {"type":"unique","id":"unique_doc_id","column":"doc_id","severity":"warning"}
+      |    ],
+      |    "lenient": [
+      |      {"type":"notNull","id":"not_null_tokens","column":"tokens","severity":"fatal"},
+      |      {"type":"lengthConsistency","id":"len_consistency","arrayColumn":"tokens","lengthColumn":"n_tok"}
+      |    ]
+      |  },
+      |  "routing": { "R": "lenient" },
+      |  "defaultRuleSet": "strict" }""".stripMargin
+
+  def vRoutedMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val routing = graft.rules.RuleSetLoader.parse(routingJson)
+    Validator.ruleMatrix(
+        Validator.violationsRouted(tok(spark, dir), routing, dims(spark)))
+      .orderBy("source", "rule_id")
+  }
+
+  /** End-to-end assembled report (VERDICT r1 #5): inclusion predicate +
+    * category split + dedup + severity rank/color in one call.
+    */
+  def rReportFull(spark: SparkSession, dir: String): DataFrame = {
+    val t = tok(spark, dir)
+    val detailedV = detailed(spark, dir)
+    graft.report.ReportOps.assemble(
+        Validator.summary(t, detailedV), detailedV, fdpgRules)
+      .orderBy("category", "severity_rank", "rule_id", "detail_generic")
+  }
+
   def vResumePending(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val completed = Seq("A", "N").toDF("completed")
@@ -418,6 +461,8 @@ object Queries {
     "v_violations" -> (vViolations _),
     "v_summary" -> (vSummary _),
     "v_rule_matrix" -> (vRuleMatrix _),
+    "v_routed_matrix" -> (vRoutedMatrix _),
+    "r_report_full" -> (rReportFull _),
     "v_dedup_issues" -> (vDedupIssues _),
     "v_stats" -> (vStats _),
     "v_histogram" -> (vHistogram _),
@@ -544,6 +589,47 @@ object Queries {
       s"""WITH $violationsCte
          |SELECT source, rule_id, count(*) AS violations FROM v
          |GROUP BY source, rule_id ORDER BY source, rule_id""".stripMargin,
+
+    // per-source routing: R gets the lenient set (not_null_tokens +
+    // len_consistency only); all other sources get the strict set, with
+    // uniqueness/referential computed over the strict slice only
+    "v_routed_matrix" ->
+      s"""WITH $cte,
+         |v AS (
+         |  SELECT doc_id, 'not_null_tokens' AS rule_id, source
+         |  FROM tok WHERE tokens_null
+         |  UNION ALL
+         |  SELECT doc_id, 'len_consistency', source
+         |  FROM tok WHERE NOT tokens_null AND n_tok <> n_true
+         |  UNION ALL
+         |  SELECT doc_id, 'token_bounds', source
+         |  FROM tok WHERE source <> 'R' AND NOT tokens_null AND key % 109 = 0
+         |  UNION ALL
+         |  SELECT doc_id, 'ref_source', source
+         |  FROM tok WHERE source <> 'R' AND source NOT IN ('A','N','R')
+         |  UNION ALL
+         |  SELECT doc_id, 'unique_doc_id', minsrc AS source
+         |  FROM (SELECT doc_id, count(*) AS cnt, min(source) AS minsrc
+         |        FROM tok WHERE source <> 'R' GROUP BY doc_id) WHERE cnt > 1
+         |)
+         |SELECT source, rule_id, count(*) AS violations FROM v
+         |GROUP BY source, rule_id ORDER BY source, rule_id""".stripMargin,
+
+    "r_report_full" ->
+      s"""WITH $violationsCte
+         |SELECT CASE WHEN rule_id IN ('len_consistency','token_bounds','not_null_tokens')
+         |            THEN 'fdpg' ELSE 'general' END AS category,
+         |       CASE severity WHEN 'fatal' THEN 0 WHEN 'error' THEN 1
+         |            WHEN 'warning' THEN 2 ELSE 3 END AS severity_rank,
+         |       CASE WHEN severity IN ('fatal','error') THEN 'red'
+         |            WHEN severity = 'warning' THEN 'orange'
+         |            ELSE 'gray' END AS color,
+         |       severity, rule_id,
+         |       regexp_replace(regexp_replace(detail, '\\[[0-9]+\\]', '[*]', 'g'),
+         |                      '''[^'']*''', '''?''', 'g') AS detail_generic,
+         |       count(*) AS cnt
+         |FROM v GROUP BY 1, 2, 3, 4, 5, 6
+         |ORDER BY category, severity_rank, rule_id, detail_generic""".stripMargin,
 
     "v_dedup_issues" ->
       s"""WITH $violationsCte

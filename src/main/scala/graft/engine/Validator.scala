@@ -27,10 +27,21 @@ object Validator {
   /** Violations from row-level rules: single pass, whole-stage codegen.
     * Output: (doc_id, rule_id, detail, severity, source).
     */
-  def rowViolations(df: DataFrame, rules: Seq[Rule]): DataFrame = {
-    val compiled = rules.map(RuleCompiler.compileRow)
-    val hits = array(compiled.map { r =>
-      when(r.violated, struct(
+  def rowViolations(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    rowViolationsGated(df, rules.map(r => (r, None)))
+
+  /** Row-rule pass with an optional extra gate per rule (the routed-dispatch
+    * path: the gate is a `source`-membership predicate, so ALL rule sets
+    * still evaluate in ONE scan — rule-set count must not multiply I/O, the
+    * Spark analogue of the reference dispatching 827 per-code profiles
+    * without re-reading pages, maps/validation_mapping.json:4-833).
+    */
+  def rowViolationsGated(
+      df: DataFrame, rules: Seq[(Rule, Option[Column])]): DataFrame = {
+    val hits = array(rules.map { case (rule, gate) =>
+      val r = RuleCompiler.compileRow(rule)
+      val violated = gate.map(_ && r.violated).getOrElse(r.violated)
+      when(violated, struct(
         lit(r.id).as("rule_id"),
         r.detail.as("detail"),
         lit(r.severity).as("severity")))
@@ -100,6 +111,57 @@ object Validator {
     }
     val uniq = ruleSet.uniqueRules.map(uniqueViolations(df, _))
     (Seq(row) ++ refs ++ uniq).reduce(_ unionByName _)
+  }
+
+  /** Full pass under per-source rule-set ROUTING (SURVEY.md §2 rows 8/15;
+    * the reference's validation_mapping.json dispatch). Semantics: a source
+    * routed to rule set S is validated by S's rules only; unrouted sources
+    * get `routing.defaultRuleSet`.
+    *
+    * Shape: every rule set's ROW rules evaluate in the same single scan,
+    * gated by a source-membership predicate (no per-set passes). Dataset
+    * rules (referential / uniqueness) run on the gated SLICE — uniqueness
+    * under routing is per-slice by definition (a duplicate across
+    * differently-routed sources is not a violation of either set).
+    */
+  def violationsRouted(
+      df: DataFrame, routing: RuleSetLoader.Routing,
+      dims: Map[String, DataFrame]): DataFrame = {
+    val routedTo: Map[String, Seq[String]] =
+      routing.routing.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap
+    val routedElsewhere: Map[String, Seq[String]] =
+      routing.ruleSets.keys.map { name =>
+        name -> routing.routing.collect {
+          case (src, s) if s != name => src
+        }.toSeq.sorted
+      }.toMap
+
+    def gateFor(setName: String): Option[Column] =
+      if (setName == routing.defaultRuleSet) {
+        val others = routedElsewhere(setName)
+        if (others.isEmpty) None
+        else Some(!col("source").isin(others: _*))
+      } else Some(col("source").isin(routedTo.getOrElse(setName, Nil): _*))
+
+    val sets = routing.ruleSets.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        name == routing.defaultRuleSet || routedTo.contains(name)
+      }
+    val gatedRows = sets.flatMap { case (name, rs) =>
+      rs.rowRules.map(r => (r, gateFor(name)))
+    }
+    val rowPart = rowViolationsGated(df, gatedRows)
+    val slices = sets.map { case (name, rs) =>
+      (rs, gateFor(name).map(df.where).getOrElse(df))
+    }
+    val refs = slices.flatMap { case (rs, slice) =>
+      rs.referentialRules.map(r =>
+        referentialViolations(slice, r, dims(r.dimension)))
+    }
+    val uniq = slices.flatMap { case (rs, slice) =>
+      rs.uniqueRules.map(uniqueViolations(slice, _))
+    }
+    (Seq(rowPart) ++ refs ++ uniq).reduce(_ unionByName _)
   }
 
   /** Explicit salted two-phase uniqueness (north-star: "salted repartition

@@ -88,6 +88,35 @@ object ReportOps {
         array_join(array_sort(collect_set(col("rule_id"))), ",")
           .as("rule_ids"))
 
+  /** End-to-end report assembly — the one-call composition the reference
+    * builds in report_visualizer.py:397-447 + extraction/main.py:296-304:
+    * inclusion predicate (only sources with real issues) → category split
+    * (FDPG metadata rules vs general) → dedup by (severity, rule,
+    * generalized detail) → severity rank + display color.
+    *
+    * One flat frame (category, severity_rank, color, severity, rule_id,
+    * detail_generic, cnt); a renderer would section it by category and
+    * order by severity_rank. The inclusion semi-join is broadcast (the
+    * summary side is per-source, tiny by construction).
+    */
+  def assemble(summary: DataFrame, detailed: DataFrame,
+      metadataRules: Seq[String]): DataFrame = {
+    val included = includeSources(summary)
+    val scoped = detailed.join(broadcast(included), Seq("source"), "left_semi")
+    scoped
+      .select(
+        when(col("rule_id").isin(metadataRules: _*), "fdpg")
+          .otherwise("general").as("category"),
+        col("severity"), col("rule_id"),
+        graft.engine.Validator.generalize(col("detail")).as("detail_generic"))
+      .groupBy("category", "severity", "rule_id", "detail_generic")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("category"),
+        severityRank(col("severity")).as("severity_rank"),
+        severityColor(col("severity")).as("color"),
+        col("severity"), col("rule_id"), col("detail_generic"), col("cnt"))
+  }
+
   /** Distribution pivot (report_visualizer.py:21-57): per-source histogram
     * rows widened to one row per source with `--` for missing buckets.
     */

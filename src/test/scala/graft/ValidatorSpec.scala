@@ -84,6 +84,32 @@ class ValidatorSpec extends SparkSpec {
     assert(got === Set("a"))
   }
 
+  test("routed dispatch: each source validated by its routed set only") {
+    val routing = RuleSetLoader.parse(
+      """{ "ruleSets": {
+        |   "strict": [
+        |     {"type":"tokenBounds","id":"token_bounds","arrayColumn":"tokens","lo":0,"hi":50000,"severity":"warning"},
+        |     {"type":"unique","id":"unique_doc_id","column":"doc_id","severity":"warning"},
+        |     {"type":"referential","id":"ref_source","column":"source","dimension":"allowed_sources"}
+        |   ],
+        |   "lenient": [
+        |     {"type":"lengthConsistency","id":"len_consistency","arrayColumn":"tokens","lengthColumn":"n_tok"}
+        |   ]},
+        |  "routing": { "A": "lenient" },
+        |  "defaultRuleSet": "strict" }""".stripMargin)
+    val got = Validator.canonical(
+        Validator.violationsRouted(fixture, routing, dims))
+      .as[(String, String, String)].collect().toSet
+    // A rows: lenient only → len-1 fires, dup-1/dup-1(A) exempt from unique;
+    // others: strict only → bound-1 (R), ref-1 (bogus); the dup pair is
+    // split across slices (A routed away), so NO uniqueness violation
+    val expected = Set(
+      ("len-1", "len_consistency", "n_tok=3 size=2"),
+      ("bound-1", "token_bounds", "token out of [0,50000)"),
+      ("ref-1", "ref_source", "source='bogus' not in allowed_sources"))
+    assert(got === expected)
+  }
+
   test("rule-set JSON loader round-trips routing and rules") {
     val json =
       """{"ruleSets": {"default": [
