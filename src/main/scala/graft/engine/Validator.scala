@@ -74,6 +74,24 @@ object Validator {
         lit(rule.severity).as("severity"), col("source"))
   }
 
+  /** Referential violations against a LARGE dimension — the shuffle-join
+    * path (SURVEY.md §2 row 10 at dimension sizes where a broadcast would
+    * OOM the executors). The anti-join shuffles BOTH sides on the key: a
+    * sort-merge (or shuffled-hash under AQE) join, never a broadcast — the
+    * `merge` hint pins that so a misestimated dimension size can't flip the
+    * plan into a driver-side collect of a TB-scale table. AQE skew-join
+    * splitting handles hot FK values.
+    */
+  def referentialViolationsBigDim(
+      df: DataFrame, rule: ReferentialRule, dim: DataFrame): DataFrame = {
+    val dimCol = dim.columns.head
+    df.join(dim.hint("merge"), df(rule.column) === dim(dimCol), "left_anti")
+      .select(col("doc_id"), lit(rule.id).as("rule_id"),
+        concat(lit(s"${rule.column}="), col(rule.column).cast("string"),
+          lit(s" not in ${rule.dimension}")).as("detail"),
+        lit(rule.severity).as("severity"), col("source"))
+  }
+
   /** Uniqueness violations: two-phase hash aggregate on the key.
     *
     * Scale note: partial aggregation (map-side combine) collapses duplicate

@@ -61,8 +61,10 @@ object TokenTable {
     * streaming file source, which needs a directory, not a DataFrame.
     */
   def materializedPath(spark: SparkSession, sfDir: String, variant: String = "full"): String = synchronized {
+    // _v2: schema gained `okey` (FK to orders for the big-dimension
+    // referential check) — the suffix invalidates pre-okey caches
     val dir = new java.io.File(
-      s"$cacheBase/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_$variant")
+      s"$cacheBase/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_${variant}_v2")
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       val li0 = lineitem(spark, sfDir)
       val li = if (variant == "even") li0.where(li0("l_orderkey") % 2 === 0)
@@ -95,7 +97,7 @@ object TokenTable {
     */
   def tokensScaled(spark: SparkSession, sfDir: String, k: Int): DataFrame = synchronized {
     val dir = new java.io.File(
-      s"$cacheBase/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_x$k")
+      s"$cacheBase/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_x${k}_v2")
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       val li = lineitem(spark, sfDir)
       val replicas = spark.range(k).toDF("r")
@@ -146,7 +148,9 @@ object TokenTable {
         .as("tokens"),
       (nTrue + when(key % 97 === 0, lit(1)).otherwise(lit(0))).as("n_tok"),
       when(key % 103 === 0, lit("bogus")).otherwise(li("l_returnflag"))
-        .as("source"))
+        .as("source"),
+      // FK to the orders dimension (big-dimension referential checks)
+      li("l_orderkey").cast("bigint").as("okey"))
   }
 
   /** DuckDB CTE producing the same scalar columns (token arrays included for

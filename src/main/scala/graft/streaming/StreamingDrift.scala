@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
 import graft.functions.KllFunctions
 
 /** Streaming distribution-drift monitor (north-star: "token-distribution
@@ -54,5 +56,33 @@ object StreamingDrift {
         col("source"),
         maxDelta.as("max_delta"),
         (maxDelta > threshold).as("drifted"))
+  }
+
+  /** One-shot windowed drift over a parquet event directory as a bounded
+    * stream (`Trigger.AvailableNow`), in APPEND mode: only windows the
+    * watermark has closed are emitted — exactly the rows an unbounded
+    * deployment would have shipped, which makes the streaming path
+    * oracle-checkable (the driver recomputes each closed window's exact
+    * quantiles and the watermark cutoff `max(ts) - delay`). State is
+    * dropped as windows close, so memory is O(open windows × sources × k).
+    */
+  def runWindowedDriftAvailableNow(
+      spark: SparkSession, path: String, schema: StructType,
+      eventCol: String, sourceCol: String, valueCol: String,
+      windowDur: String, watermarkDur: String, baselineQs: DataFrame,
+      k: Int, ps: Seq[Double], threshold: Double): DataFrame = {
+    val stream = spark.readStream.schema(schema).parquet(path)
+      .select(col(eventCol).as("ts"), col(sourceCol).as("source"),
+        col(valueCol).as("value"))
+    val out = windowedSketchDrift(stream, "ts", windowDur, watermarkDur,
+      baselineQs, "value", k, ps, threshold)
+    val name = s"graft_window_drift_${System.nanoTime()}"
+    val q = out.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
   }
 }

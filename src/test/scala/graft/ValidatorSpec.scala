@@ -110,6 +110,23 @@ class ValidatorSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("big-dimension referential: shuffle join, never broadcast") {
+    // dimension too big to broadcast in production: the merge hint must pin
+    // a sort-merge join regardless of the optimizer's size estimate
+    val dim = spark.range(0, 1000).select(col("id").as("allowed_key"))
+    val df = fixture.withColumn("okey", lit(5000L)) // nothing allowed
+    val rule = ReferentialRule("ref_big", "okey", "allowed_key")
+    val v = Validator.referentialViolationsBigDim(df, rule, dim)
+    val plan = v.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(!plan.contains("BroadcastExchange"), plan.take(1500))
+    assert(v.count() === fixture.count()) // every row violates
+    // and allowed keys produce no violations
+    val ok = Validator.referentialViolationsBigDim(
+      fixture.withColumn("okey", lit(7L)), rule, dim)
+    assert(ok.count() === 0)
+  }
+
   test("rule-set JSON loader round-trips routing and rules") {
     val json =
       """{"ruleSets": {"default": [
