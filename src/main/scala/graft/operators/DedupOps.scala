@@ -38,15 +38,20 @@ object DedupOps {
     * pipeline can surface it (cf. the reference's explicit known-issue
     * allowlist, /root/reference/extraction/test/test_profiles.py:166-180).
     *
-    * Cost: one extra two-phase count aggregate (map-side combine collapses
-    * each bucket to one partial per task) + a broadcast anti-join against
-    * the — by construction tiny — set of oversized keys.
+    * Cost: ~zero. The guard is a count-over-window filter partitioned by
+    * the bucket key — the window's hash partitioning is exactly what the
+    * candidate self-join needs next, so no extra pass over the (expensive)
+    * signature computation and no extra shuffle; a count+anti-join guard
+    * would re-evaluate the bands subplan a third time.
     */
   private def capBuckets(
       b: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
     log.info(s"LSH bucket cap = $cap on keys ${keyCols.mkString(",")}")
-    val hot = oversizedBuckets(b, keyCols, cap).select(keyCols.map(col): _*)
-    b.join(broadcast(hot), keyCols, "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    b.withColumn("_bucket_n", count(lit(1)).over(w))
+      .where(col("_bucket_n") <= cap)
+      .drop("_bucket_n")
   }
 
   /** The buckets the guard would drop: (keyCols…, bucket_n). Empty on
