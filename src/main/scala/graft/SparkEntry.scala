@@ -478,9 +478,12 @@ object Queries {
 
   /** Recall anchor for the embedding near-dup path: exact all-pairs count
     * (oracle-recomputed) + a pinned ≥0.95 recall bound on what LSH found.
+    * Bounded to a deterministic vector slice — the exact all-pairs
+    * ground-truth is O(n²) BY DESIGN and must never scale with the corpus
+    * (at sf0.1 the unbounded version cost 148 s; the slice is constant).
     */
   def eNearDupRecall(spark: SparkSession, dir: String): DataFrame = {
-    val aug = embsAug(spark, dir)
+    val aug = embsAug(spark, dir).where(col("vec_id") % 100000 < 500)
     val a = aug.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = aug.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     val exact = a.join(b, col("vec_a") < col("vec_b"))
@@ -1048,7 +1051,8 @@ object Queries {
       s"""WITH $augCte
          |SELECT count(*) AS n_exact_pairs, TRUE AS recall_ok
          |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-         |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.99""".stripMargin,
+         |WHERE a.vec_id % 100000 < 500 AND b.vec_id % 100000 < 500
+         |  AND ${duckCos("a.embedding", "b.embedding")} >= 0.99""".stripMargin,
 
     // MinHash LSH candidates are exact-Jaccard verified and (at this corpus
     // and banding) recall every exact pair — the full exact pair set is the
