@@ -28,6 +28,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "at probabilities p1.. via a deterministic KLL sketch with " +
           "parameter k (mergeable; O(k log n) space)."),
       (children: Seq[Expression]) => GraftExtensions.buildKll(children)))
+
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(
+        classOf[graft.functions.DotProduct].getName, "dot_product",
+        "dot_product(a, b) - codegen'd dot product of two array<double> " +
+          "columns (strict left-to-right summation)."),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dot_product(a, b) needs 2 arguments")
+        graft.functions.DotProduct(children(0), children(1))
+      }))
   }
 }
 

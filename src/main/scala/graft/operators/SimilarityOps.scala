@@ -21,8 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Left-fold dot product of two double arrays (deterministic order). */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product — a native codegen'd Catalyst expression
+    * ([[graft.functions.DotProduct]]): strict left-to-right summation,
+    * bit-identical to the HOF left fold it replaced (pinned by spec) but
+    * inside whole-stage codegen instead of interpreted lambda dispatch.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
+
+  /** The higher-order-function formulation (CodegenFallback) — kept as the
+    * reference semantics the native expression is tested against.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -140,6 +140,36 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(got === Seq(0L, 1L, 2L) || got === Seq(0L, 1L, 3L)) // 2/3 tie at 0
   }
 
+  test("native DotProduct is bit-identical to the HOF left fold") {
+    // 200 pseudo-random double arrays: the codegen'd loop must reproduce
+    // the interpreted fold exactly (same summation order)
+    val vecs = (0 until 200).map { r =>
+      (r.toLong, Array.tabulate(64)(j =>
+        math.sin(r * 31 + j * 17) * 0.3))
+    }.toDF("vec_id", "embedding")
+    val a = vecs.select(col("vec_id"), col("embedding").as("ea"))
+    val b = vecs.select((col("vec_id") + 1).as("vec_id"), col("embedding").as("eb"))
+    val both = a.join(b, "vec_id")
+      .select(
+        SimilarityOps.dot(col("ea"), col("eb")).as("native"),
+        SimilarityOps.dotHof(col("ea").cast("array<double>"),
+          col("eb").cast("array<double>")).as("hof"))
+      .collect()
+    assert(both.length === 199)
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    // SQL surface via GraftExtensions
+    vecs.createOrReplaceTempView("dotspec_vecs")
+    val viaSql = spark.sql(
+      """SELECT dot_product(CAST(embedding AS ARRAY<DOUBLE>),
+        |                   CAST(embedding AS ARRAY<DOUBLE>)) AS d
+        |FROM dotspec_vecs WHERE vec_id = 0""".stripMargin)
+      .head().getDouble(0)
+    val expected = vecs.where(col("vec_id") === 0)
+      .select(SimilarityOps.dot(col("embedding"), col("embedding")))
+      .head().getDouble(0)
+    assert(viaSql === expected)
+  }
+
   test("cosine is exact on unit vectors") {
     val c = embs.select(
       SimilarityOps.cosine(col("embedding"),
