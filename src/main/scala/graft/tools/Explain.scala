@@ -107,6 +107,40 @@ object Explain {
     if (args.contains("--plans")) {
       Validator.violations(tok, ruleSet, dims).explain("formatted")
     }
+    if (args.contains("--ann")) {
+      import graft.operators.{SimilarityOps, VectorIndex}
+      val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val qv = embs.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .first().getSeq[Double](0).toSeq
+      val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "_explain"
+      val (idx, cent) = VectorIndex.ivf(spark, embs, tag, 8)
+      // the probed-partition scan: PartitionFilters must carry centroid_id
+      val probe = VectorIndex.ivfTopK(spark, idx, cent, qv, 10, nProbe = 2)
+      probe.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("PartitionFilters")).foreach { l =>
+          val i = l.indexOf("PartitionFilters")
+          println("[explain][ann] " + l.substring(i).take(200))
+        }
+      timed("ann_ivf_indexed")(probe.count())
+      timed("ann_ivf_unindexed")(
+        SimilarityOps.ivfTopK(embs, qv, 10, 8, 2).count())
+      timed("ann_brute")(SimilarityOps.bruteForceTopK(embs, qv, 10).count())
+      // native vs interpreted dot product over all pairs of a 500-vec slice
+      val slice = embs.where(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val l = slice.select(col("vec_id").as("va"), col("e").as("ea"))
+      val r = slice.select(col("vec_id").as("vb"), col("e").as("eb"))
+      val pairs = l.join(r, col("va") < col("vb"))
+      pairs.select(SimilarityOps.dot(col("ea"), col("eb")).as("d"))
+        .agg(sum("d")).collect() // warm
+      timed("dot_native_125k")(
+        { pairs.select(SimilarityOps.dot(col("ea"), col("eb")).as("d"))
+          .agg(sum("d")).collect(); 124750L })
+      timed("dot_hof_125k")(
+        { pairs.select(SimilarityOps.dotHof(col("ea"), col("eb")).as("d"))
+          .agg(sum("d")).collect(); 124750L })
+    }
     spark.stop()
   }
 }
