@@ -105,25 +105,60 @@ object SimilarityOps {
       .select(col("vec_id").as("centroid_id"),
         col("embedding").as("centroid"))
 
-  /** IVF assignment: every vector to its nearest centroid.
-    * Returns (vec_id, centroid_id). The assignment is a broadcast join:
-    * |centroids| ≪ |vectors|.
+  /** Lloyd-refined centroids: `iters` k-means steps from the deterministic
+    * seed. Each step is two declarative jobs — assign (broadcast crossJoin +
+    * max_by partial agg, same shape as [[ivfAssign]]) and re-center
+    * (posexplode → per-(centroid, position) mean → re-assemble) — so the
+    * refinement distributes like everything else; no driver-side math. A
+    * cluster that loses all members keeps its previous centroid. Output
+    * schema matches [[centroids]]: (centroid_id, centroid) with the same
+    * deterministic ids, so [[VectorIndex.ivf]] can take either.
     */
-  def ivfAssign(embeddings: DataFrame, nCentroids: Int): DataFrame = {
-    val cents = centroids(embeddings, nCentroids)
-    // arg-max via max_by, not a row_number window: the window would shuffle
-    // all |V|×C scored rows by vec_id; max_by partial-aggregates map-side so
-    // only one (best-so-far) row per vector crosses the exchange — the
-    // difference between shipping C× the table and 1× at cluster scale.
-    // Tie-break to the LOWEST centroid_id by negating it in the ordering.
-    embeddings.crossJoin(broadcast(cents))
-      .select(col("vec_id"),
-        col("centroid_id"),
+  def kMeansCentroids(
+      embeddings: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
+    var cents = centroids(embeddings, nCentroids)
+      .select(col("centroid_id"),
+        col("centroid").cast("array<double>").as("centroid"))
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    for (_ <- 0 until iters) {
+      val assign = assignTo(e, cents)
+      val means = e.join(assign, Seq("vec_id"))
+        .select(col("centroid_id"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("centroid_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("new_centroid"))
+      cents = cents.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("new_centroid"), col("centroid")).as("centroid"))
+    }
+    cents
+  }
+
+  /** Assign every vector of `e` to its nearest of `cents`.
+    *
+    * Arg-max via max_by, not a row_number window: the window would shuffle
+    * all |V|×C scored rows by vec_id; max_by partial-aggregates map-side so
+    * only one (best-so-far) row per vector crosses the exchange — the
+    * difference between shipping C× the table and 1× at cluster scale.
+    * Tie-break to the LOWEST centroid_id by negating it in the ordering.
+    */
+  def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
         cosine(col("embedding"), col("centroid")).as("sim"))
       .groupBy("vec_id")
       .agg(max_by(col("centroid_id"),
         struct(col("sim"), -col("centroid_id"))).as("centroid_id"))
-  }
+
+  /** IVF assignment: every vector to its nearest seed centroid.
+    * Returns (vec_id, centroid_id). The assignment is a broadcast join:
+    * |centroids| ≪ |vectors|.
+    */
+  def ivfAssign(embeddings: DataFrame, nCentroids: Int): DataFrame =
+    assignTo(embeddings, centroids(embeddings, nCentroids))
 
   /** IVF query over an UNMATERIALIZED assignment: probe the `nProbe`
     * centroids nearest the query, exact cosine within their lists only.

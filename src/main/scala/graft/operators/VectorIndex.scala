@@ -42,21 +42,30 @@ object VectorIndex {
   // ---- IVF ------------------------------------------------------------
 
   /** Build (first call) and return the IVF index paths for `embeddings`:
-    * `(indexDir, centroidsDir)`.
+    * `(indexDir, centroidsDir)`. `kmeansIters` > 0 Lloyd-refines the
+    * deterministic seed centroids ([[SimilarityOps.kMeansCentroids]]) —
+    * better-balanced lists, same downstream shapes; 0 keeps the closed-form
+    * seed the DuckDB oracle replicates.
     */
   def ivf(spark: SparkSession, embeddings: => DataFrame, tag: String,
-      nCentroids: Int): (String, String) = synchronized {
-    val base = s"$cacheBase/ivf_${tag}_c$nCentroids"
+      nCentroids: Int, kmeansIters: Int = 0): (String, String) = synchronized {
+    val base = s"$cacheBase/ivf_${tag}_c${nCentroids}_k$kmeansIters"
     val idx = s"$base/index"
     val cent = s"$base/centroids"
     if (!ready(idx)) {
       val e = embeddings
-      val cents = SimilarityOps.centroids(e, nCentroids)
+      val cents =
+        if (kmeansIters > 0)
+          SimilarityOps.kMeansCentroids(e, nCentroids, kmeansIters)
+        else SimilarityOps.centroids(e, nCentroids)
       cents.coalesce(1).write.mode("overwrite").parquet(cent)
-      // assignment is ONE pass (broadcast centroids + max_by partial agg,
-      // see SimilarityOps.ivfAssign); the shuffle to co-locate each
-      // centroid's list happens once here, never at query time
-      SimilarityOps.ivfAssign(e, nCentroids)
+      val stored = spark.read.parquet(cent)
+      // assignment is ONE pass (broadcast centroids + max_by partial agg);
+      // the shuffle to co-locate each centroid's list happens once here,
+      // never at query time
+      SimilarityOps.assignTo(
+          e.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding")), stored)
         .join(e, Seq("vec_id"))
         .repartition(col("centroid_id"))
         .write.mode("overwrite").partitionBy("centroid_id").parquet(idx)

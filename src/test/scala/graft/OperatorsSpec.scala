@@ -186,6 +186,23 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(got.contains(0L))
   }
 
+  test("kMeans refinement separates planted clusters with full purity") {
+    // 3 planted clusters around orthogonal axes + deterministic jitter;
+    // seeds are vec 0,1,2 (one per cluster by construction)
+    val data = (0 until 90).map { i =>
+      val c = i % 3
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (j == c) 1.0 else 0.0) + 0.05 * math.sin(i * 7 + j)))
+    }.toDF("vec_id", "embedding")
+    val cents = SimilarityOps.kMeansCentroids(data, 3, 2)
+    assert(cents.count() === 3)
+    val purity = SimilarityOps.assignTo(data, cents)
+      .groupBy("centroid_id")
+      .agg(countDistinct(pmod(col("vec_id"), lit(3))).as("n_clusters"))
+      .select("n_clusters").as[Long].collect()
+    assert(purity.toSeq === Seq(1L, 1L, 1L))
+  }
+
   test("ivf assigns every vector and probes nearest lists") {
     val assign = SimilarityOps.ivfAssign(embs, 2)
     assert(assign.count() === 5)
