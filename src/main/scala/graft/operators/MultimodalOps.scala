@@ -73,15 +73,23 @@ object MultimodalOps {
       }
   }
 
-  /** Frame-sampling plumbing for video-like payloads: split the payload into
-    * fixed-size "frames" and emit every `stride`-th, each with its index —
-    * the explode shape a real frame sampler produces.
+  /** Frame-sampling plumbing for video-like payloads: slice the payload
+    * into fixed-size "frames" and emit every `stride`-th, each with its
+    * index — the explode shape a real frame sampler produces. BYTE-SAFE:
+    * `Substring` operates directly on the binary column (the earlier
+    * string-round-trip formulation would corrupt non-UTF-8 payloads).
     */
-  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
-    media.select(col("doc_id"),
-        posexplode(split(col("payload").cast("string"),
-          s"(?<=\\G.{$frameBytes})")).as(Seq("frame_idx", "frame")))
-      .where(col("frame_idx") % stride === 0 && col("frame") =!= "")
-      .select(col("doc_id"), col("frame_idx"),
-        col("frame").cast("binary").as("frame_payload"))
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = ceil(length(col("payload"))
+      .cast("double") / frameBytes).cast("int")
+    media.where(length(col("payload")) > 0)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), nFrames - 1),
+          i => struct(i.as("frame_idx"),
+            col("payload").substr(i * frameBytes + 1, lit(frameBytes))
+              .as("frame_payload")))).as("f"))
+      .where(col("f.frame_idx") % stride === 0)
+      .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
+        col("f.frame_payload").as("frame_payload"))
+  }
 }

@@ -242,4 +242,19 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getInt(1), new String(r.getAs[Array[Byte]](2))))
     assert(frames.toSeq === Seq((0, "aaaa"), (2, "cccc")))
   }
+
+  test("frame sampling is byte-safe on non-UTF-8 payloads") {
+    val s = spark
+    import s.implicits._
+    // bytes 0x80-0x8F are invalid as UTF-8 — a string round-trip mangles them
+    val raw = Array.tabulate(16)(i => (0x80 + i).toByte)
+    val media = Seq((1L, raw, "video/stub"))
+      .toDF("doc_id", "payload", "media_type")
+    val frames = MultimodalOps.sampleFrames(media, frameBytes = 8, stride = 1)
+      .orderBy("frame_idx")
+      .collect().map(_.getAs[Array[Byte]]("frame_payload"))
+    assert(frames.length === 2)
+    assert(frames(0).toSeq === raw.slice(0, 8).toSeq)
+    assert(frames(1).toSeq === raw.slice(8, 16).toSeq)
+  }
 }
