@@ -66,15 +66,20 @@ object DedupOps {
   // ---- exact -----------------------------------------------------------
 
   /** Exact duplicate groups by fingerprint; keeper = min(doc_id).
-    * Two-phase hash aggregate; at scale the fingerprint groupBy is the only
-    * shuffle and partial aggregation collapses singletons map-side.
+    *
+    * Shape: window aggregates over `fp` rather than groupBy + self-join —
+    * the fingerprint (md5 over the sorted distinct word set) is the
+    * expensive part, and the join formulation evaluates it TWICE (probe +
+    * build side); the window computes it once and shuffles only the slim
+    * (doc_id, fp) projection. One shuffle either way.
     */
   def exactDuplicates(docs: DataFrame): DataFrame = {
-    val fp = TextOps.fingerprints(docs)
-    val groups = fp.groupBy("fp")
-      .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("keeper"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    TextOps.fingerprints(docs)
+      .select(col("doc_id"), col("fp"),
+        count(lit(1)).over(w).as("group_size"),
+        min(col("doc_id")).over(w).as("keeper"))
       .where(col("group_size") > 1)
-    fp.join(groups, Seq("fp"), "inner")
       .select(col("doc_id"), col("fp"), col("group_size"), col("keeper"),
         (col("doc_id") === col("keeper")).as("keep"))
   }

@@ -51,6 +51,24 @@ class TokenTableSpec extends SparkSpec {
     } finally t.unpersist()
   }
 
+  test("fan-out (§2 rows 36/37): scan splits and reducers track cores") {
+    // the reference fans out with a process pool; the engine's analogue is
+    // task parallelism — the materialized table must expose enough row
+    // groups that a scan is not serialized, and shuffles must use the
+    // configured reducer count with AQE active
+    val t = TokenTable.tokens(spark, sf001)
+    assert(t.rdd.getNumPartitions >= 8,
+      s"scan splits = ${t.rdd.getNumPartitions}")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    assert(spark.conf.get("spark.sql.shuffle.partitions").toInt >= 4)
+    // the map side actually spreads over tasks (reduce-side counts are
+    // AQE-coalesced at this tiny scale — that is correct behavior)
+    val mapTasks = t
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+      .distinct().count()
+    assert(mapTasks >= 8, s"map tasks = $mapTasks")
+  }
+
   test("schema matches the input hint") {
     val t = TokenTable.tokens(spark, sf0001)
     val fields = t.schema.fields.map(f => f.name -> f.dataType.sql).toMap
