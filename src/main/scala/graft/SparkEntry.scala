@@ -282,6 +282,25 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Two-hop lineage referential: a sequence is flagged when the order it
+    * references belongs to a customer with a negative account balance —
+    * fact → big dimension (sort-merge on okey) → small filtered dimension
+    * (broadcast semi on custkey): the mixed join topology a real lineage
+    * rule compiles to.
+    */
+  def vRefChain(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val badCust = spark.read.parquet(s"$dir/customer.parquet")
+      .where(col("c_acctbal") < 0).select(col("c_custkey"))
+    tok(spark, dir)
+      .join(orders.hint("merge"), col("okey") === col("o_orderkey"))
+      .join(broadcast(badCust), col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("violations"))
+      .orderBy("source")
+  }
+
   /** Event-time windowed streaming drift over the events table (VERDICT r1
     * #6): per-(1-day window, event_type) KLL quantiles vs a first-half
     * baseline, emitted in append mode as the watermark closes windows; the
@@ -536,6 +555,7 @@ object Queries {
     "s_stream_rule_matrix" -> (sStreamRuleMatrix _),
     "s_window_drift" -> (sWindowDrift _),
     "v_ref_big_dim" -> (vRefBigDim _),
+    "v_ref_chain" -> (vRefChain _),
     "d_tokcount" -> (dTokcount _),
     "d_quality" -> (dQuality _),
     "d_langid_accuracy" -> (dLangidAccuracy _),
@@ -879,6 +899,14 @@ object Queries {
          |SELECT source, count(*) AS violations FROM tok
          |WHERE okey NOT IN (SELECT o_orderkey FROM orders
          |                   WHERE o_orderstatus <> 'P')
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "v_ref_chain" ->
+      s"""WITH $cte
+         |SELECT source, count(*) AS violations FROM tok
+         |JOIN orders o ON tok.okey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |WHERE c.c_acctbal < 0
          |GROUP BY source ORDER BY source""".stripMargin,
 
     // exact per-closed-window quantiles: the KLL sketch is loss-free below

@@ -99,6 +99,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming uniqueness state survives a checkpointed restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-ckpt").toString
+    val mem = MemoryStream[In]
+    val out = StreamingValidation.uniqueViolationStream(mem.toDF())
+    val seen = new scala.collection.mutable.ArrayBuffer[(String, String)]()
+    def run(): Unit = {
+      val q = out.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.model.DetailedViolation], _: Long) =>
+          seen.synchronized {
+            seen ++= batch.collect().map(v => (v.doc_id, v.detail))
+          }
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    mem.addData(In("k", Seq(1), 1, "A"))
+    run() // first occurrence: no violation, but state (count=1) checkpointed
+    assert(seen.isEmpty)
+    mem.addData(In("k", Seq(2), 1, "N"))
+    run() // restart from the checkpoint: restored state makes this count 2
+    assert(seen.toSeq === Seq(("k", "doc_id occurs 2 times")))
+  }
+
   test("windowed sketch drift emits closed windows with correct verdicts") {
     val s = spark
     import s.implicits._
