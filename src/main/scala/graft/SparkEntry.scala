@@ -425,6 +425,17 @@ object Queries {
         (col("nf") >= col("n_exact_pairs") * 0.9).as("recall_ok"))
   }
 
+  /** Fully oracle-checked SimHash: the md5-derived 60-bit word hash is
+    * replicable in DuckDB, and chunk-bucketing is EXACT by pigeonhole for
+    * Hamming ≤ 3, so the oracle recomputes the complete pair set — the
+    * rigorous anchor for the (same-shaped, xxhash64) production variant
+    * d_simhash_dups.
+    */
+  def dSimhashMd5Dups(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.simHashDuplicates(docs(spark, dir), maxHamming = 3,
+        wordHash = DedupOps.md5WordHash60, bits = 60)
+      .orderBy("doc_a", "doc_b")
+
   /** Recall anchor for SimHash: pairs with IDENTICAL word sets (equal
     * canonical fingerprints — the oracle-recomputable ground truth) have
     * equal simhashes by construction, so the banded Hamming search must
@@ -564,6 +575,7 @@ object Queries {
     "d_minhash_recall" -> (dMinhashRecall _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_simhash_dups" -> (dSimhashDups _),
+    "d_simhash_md5_dups" -> (dSimhashMd5Dups _),
     "d_simhash_recall" -> (dSimhashRecall _),
     "e_knn_brute" -> (eKnnBrute _),
     "e_ann_lsh_idx" -> (eAnnLshIdx _),
@@ -1102,6 +1114,30 @@ object Queries {
          |WHERE a.doc_id < 500 AND b.doc_id < 500
          |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |        len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
+
+    // full SimHash replication: md5-derived 60-bit word hash, per-bit ±1
+    // sums, Hamming via bit_count(xor); all-pairs here = the engine's
+    // chunk-bucketed set (pigeonhole-exact for Hamming <= 3)
+    "d_simhash_md5_dups" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_distinct(list_filter(
+        |    string_split(text, ' '), x -> x <> ''))) AS word
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |        CAST(concat('0x', substring(md5(word), 1, 15)) AS BIGINT) AS h
+        |      FROM w),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |         CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |              THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id, CAST(sum(bit << b) AS BIGINT) AS simhash
+        |       FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // ground truth = identical word sets (equal canonical fingerprints);
     // equal sets ⇒ equal simhashes ⇒ Hamming 0 ⇒ recall pinned at 1.0

@@ -167,36 +167,60 @@ object DedupOps {
 
   // ---- SimHash -----------------------------------------------------------
 
-  /** 64-bit SimHash over word hashes: bit b is 1 iff the sum of (+1/-1)
-    * contributions of word-hash bit b is positive. Expressed as one explode
-    * + 64 conditional sums (single aggregation pass, codegen'd).
+  /** Default word hash: xxhash64 (codegen'd, fastest — the production
+    * path).
     */
-  def simHash(docs: DataFrame): DataFrame = {
+  val xxWordHash: Column => Column = w => xxhash64(w)
+
+  /** md5-derived 60-bit word hash: `conv(substr(md5(w),1,15), 16, 10)`.
+    * Slower than xxhash64 but replicable by engines without xxhash64
+    * (DuckDB: `CAST('0x'||substr(md5(w),1,15) AS BIGINT)`) — the hash the
+    * oracle-checked SimHash query uses. Use with `bits = 60`.
+    */
+  val md5WordHash60: Column => Column =
+    w => conv(substring(md5(w), 1, 15), 16, 10).cast("bigint")
+
+  /** SimHash over word hashes: bit b is 1 iff the sum of (+1/-1)
+    * contributions of word-hash bit b is positive. Expressed as one explode
+    * + `bits` conditional sums (single aggregation pass, codegen'd).
+    * `wordHash` is pluggable (default xxhash64; [[md5WordHash60]] for
+    * cross-engine replication).
+    */
+  def simHash(docs: DataFrame,
+      wordHash: Column => Column = xxWordHash, bits: Int = 64): DataFrame = {
+    require(bits >= 4 && bits <= 64)
     val exploded = docs.select(col("doc_id"),
       explode(array_distinct(TextOps.words(col("text")))).as("word"))
-      .select(col("doc_id"), xxhash64(col("word")).as("h"))
-    val bitSums = (0 until 64).map { b =>
+      .select(col("doc_id"), wordHash(col("word")).as("h"))
+    val bitSums = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"b$b")
     }
     val agg = exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).map { b =>
+    val sim = (0 until bits).map { b =>
       when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     agg.select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** SimHash near-dup candidates: bucket by each of four 16-bit chunks
-    * (any pair within Hamming distance 3 of 64 bits shares at least one
-    * exact chunk by pigeonhole), verify Hamming ≤ maxHamming via bit_count.
+  /** SimHash near-dup candidates: bucket by each of four (bits/4)-bit
+    * chunks — any pair within Hamming distance 3 shares at least one exact
+    * chunk by PIGEONHOLE, so for maxHamming ≤ 3 the candidate set (and
+    * therefore the output) is EXACT, not approximate — then verify
+    * Hamming ≤ maxHamming via bit_count.
     */
   def simHashDuplicates(
-      docs: DataFrame, maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame = {
-    val s = simHash(docs)
+      docs: DataFrame, maxHamming: Int = 3, bucketCap: Int = 1000,
+      wordHash: Column => Column = xxWordHash, bits: Int = 64): DataFrame = {
+    require(bits % 4 == 0 && maxHamming < 4,
+      "pigeonhole: 4 chunks cover Hamming <= 3")
+    val chunkBits = bits / 4
+    val chunkMask = (1L << chunkBits) - 1
+    val s = simHash(docs, wordHash, bits)
     val chunks0 = s.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk_id"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)
+          shiftright(col("simhash"), c * chunkBits).bitwiseAND(chunkMask)
             .as("chunk_key"))): _*)).as("ch"))
       .select(col("doc_id"), col("simhash"),
         col("ch.chunk_id"), col("ch.chunk_key"))
