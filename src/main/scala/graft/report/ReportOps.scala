@@ -96,13 +96,21 @@ object ReportOps {
     *
     * One flat frame (category, severity_rank, color, severity, rule_id,
     * detail_generic, cnt); a renderer would section it by category and
-    * order by severity_rank. The inclusion semi-join is broadcast (the
-    * summary side is per-source, tiny by construction).
+    * order by severity_rank.
+    *
+    * The inclusion set is COLLECTED (one row per source — partition-count
+    * cardinality, same class as the checkpoint manifest reads) and applied
+    * as an `isin` predicate rather than a semi-join: Catalyst pushes a
+    * semi-join through the violations UNION, re-embedding the entire
+    * summary subtree into every branch (measured 39 scans instead of 7);
+    * the predicate pushes into each branch as a free filter — and prunes
+    * partitions when the table is stored by source.
     */
   def assemble(summary: DataFrame, detailed: DataFrame,
       metadataRules: Seq[String]): DataFrame = {
-    val included = includeSources(summary)
-    val scoped = detailed.join(broadcast(included), Seq("source"), "left_semi")
+    val included: Seq[String] =
+      includeSources(summary).collect().map(_.getString(0)).toSeq
+    val scoped = detailed.where(col("source").isin(included: _*))
     scoped
       .select(
         when(col("rule_id").isin(metadataRules: _*), "fdpg")
