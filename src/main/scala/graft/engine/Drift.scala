@@ -81,8 +81,12 @@ object Drift {
         .agg(count(lit(1)).as(cName))
     val cur = hist(current, "cur_cnt")
     val base = hist(baseline, "base_cnt")
-    val curTot = cur.groupBy("source").agg(sum("cur_cnt").as("cur_tot"))
-    val baseTot = base.groupBy("source").agg(sum("base_cnt").as("base_tot"))
+    // per-source totals as WINDOW sums over the JOINED histogram, not
+    // separate re-aggregations: the total subtrees would re-scan (and
+    // re-explode) both token tables — measured 11 scans where 2 suffice.
+    // The window's input is sources × buckets rows (tiny), one extra
+    // shuffle by source.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
     // exact integer arithmetic throughout, one final division: the result is
     // bit-identical regardless of aggregation order (and engine) — summing
     // double ratios would be order-dependent. The cross products run in
@@ -90,11 +94,15 @@ object Drift {
     // wrap a BIGINT product (non-ANSI mode) at the module's 10^12-row target.
     val dec = "decimal(38,0)"
     cur.join(base, Seq("source", "bucket"), "full_outer")
-      .join(curTot, Seq("source"), "left")
-      .join(baseTot, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"),
+        coalesce(col("base_cnt"), lit(0L)).as("base_cnt"))
+      .select(col("source"), col("cur_cnt"), col("base_cnt"),
+        sum(col("cur_cnt")).over(w).as("cur_tot"),
+        sum(col("base_cnt")).over(w).as("base_tot"))
       .select(col("source"), col("cur_tot"), col("base_tot"),
-        abs(coalesce(col("cur_cnt"), lit(0L)).cast(dec) * col("base_tot").cast(dec) -
-          coalesce(col("base_cnt"), lit(0L)).cast(dec) * col("cur_tot").cast(dec))
+        abs(col("cur_cnt").cast(dec) * col("base_tot").cast(dec) -
+          col("base_cnt").cast(dec) * col("cur_tot").cast(dec))
           .as("num"))
       .groupBy("source")
       .agg((sum(col("num")).cast("double") /
