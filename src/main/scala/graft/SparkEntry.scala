@@ -358,6 +358,24 @@ object Queries {
       .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted")
 
+  /** BPE-ish regex pre-tokenizer counts (letter/digit/punctuation runs). */
+  def dBpeishTokcount(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeishTokenCounts(docs(spark, dir)).orderBy("doc_id")
+
+  /** Winnowing (rolling k-gram window-min) fingerprint near-dups with the
+    * oracle-replicable md5 gram hash: pairs sharing ≥ 5 selected hashes.
+    * Candidate generation is an inverted index keyed by fingerprint —
+    * never all-pairs — with the hot-bucket guard on ubiquitous substrings.
+    */
+  def dWinnowDups(spark: SparkSession, dir: String): DataFrame =
+    // 16-char grams span ~3 words: on this shared-vocabulary corpus,
+    // shorter grams collide on single common words and the pair set
+    // degenerates toward all-pairs (k=8/w=4/min=5 emitted 79k pairs of a
+    // possible 125k; these settings emit 24 genuine shared-phrase pairs)
+    DedupOps.winnowDuplicates(docs(spark, dir), k = 16, w = 8, minShared = 10,
+        gramHash = DedupOps.md5WordHash60)
+      .orderBy("doc_a", "doc_b")
+
   def dFingerprintDups(spark: SparkSession, dir: String): DataFrame =
     DedupOps.exactDuplicates(docs(spark, dir)).orderBy("doc_id")
 
@@ -570,6 +588,8 @@ object Queries {
     "d_tokcount" -> (dTokcount _),
     "d_quality" -> (dQuality _),
     "d_langid_accuracy" -> (dLangidAccuracy _),
+    "d_bpeish_tokcount" -> (dBpeishTokcount _),
+    "d_winnow_dups" -> (dWinnowDups _),
     "d_fingerprint_dups" -> (dFingerprintDups _),
     "d_minhash_dups" -> (dMinhashDups _),
     "d_minhash_recall" -> (dMinhashRecall _),
@@ -1005,6 +1025,35 @@ object Queries {
         |  FROM (SELECT lang, ' ' || text || ' ' AS t FROM documents))
         |SELECT lang, predicted, count(*) AS n FROM p
         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    "d_bpeish_tokcount" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS INT) AS n_bpeish,
+        |  CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))) AS INT) AS n_bpeish_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // full winnowing replication: rolling 16-gram md5-derived hashes, min
+    // of every 8-window, distinct selected hashes, pairs sharing >= 10
+    "d_winnow_dups" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |grams AS (
+        |  SELECT doc_id, j,
+        |    CAST(concat('0x', substring(md5(substring(text, CAST(j AS INT)+1, 16)), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, text, n,
+        |          unnest(generate_series(0, CASE WHEN n >= 16 THEN n-16 ELSE 0 END)) AS j
+        |        FROM d)),
+        |arrs AS (SELECT doc_id, list(h ORDER BY j) AS hs FROM grams GROUP BY doc_id),
+        |wins AS (SELECT doc_id,
+        |  CASE WHEN len(hs) >= 8
+        |    THEN list_transform(range(1, len(hs)-6), i -> list_min(hs[i:i+7]))
+        |    ELSE [list_min(hs)] END AS wmins
+        |  FROM arrs),
+        |fps AS (SELECT DISTINCT doc_id, unnest(wmins) AS fp FROM wins)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       count(*) AS n_shared
+        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 10
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d_fingerprint_dups" ->
       """WITH fp AS (

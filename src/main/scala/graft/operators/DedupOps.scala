@@ -237,6 +237,31 @@ object DedupOps {
       .where(col("hamming") <= maxHamming)
   }
 
+  // ---- winnowing ----------------------------------------------------------
+
+  /** Near-duplicates via winnowing fingerprints
+    * ([[TextOps.winnowFingerprints]]): inverted index on the selected
+    * hashes (explode → self-join keyed by fingerprint → per-pair shared
+    * count) — one shuffle keyed by fingerprint, never all-pairs; the
+    * hot-bucket guard drops ubiquitous substrings. A pair is emitted when
+    * it shares ≥ `minShared` fingerprints.
+    */
+  def winnowDuplicates(docs: DataFrame, k: Int = 8, w: Int = 4,
+      minShared: Int = 5, bucketCap: Int = 1000,
+      gramHash: Column => Column = xxWordHash): DataFrame = {
+    val fps = docs.select(col("doc_id"),
+      explode(TextOps.winnowFingerprints(col("text"), k, w, gramHash))
+        .as("fp"))
+    val capped = capBuckets(fps, Seq("fp"), bucketCap)
+    val l = capped.select(col("fp"), col("doc_id").as("doc_a"))
+    val r = capped.select(col("fp"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   // ---- embedding near-dup -------------------------------------------------
 
   /** Banded hyperplane-LSH bucketing of an embedding table:

@@ -71,13 +71,54 @@ object TextOps {
         .otherwise("unknown").as("predicted"))
   }
 
+  /** BPE-ish regex tokenization: letter runs | digit runs | punctuation
+    * runs — the shape of a GPT-2-style pre-tokenizer pattern, restricted to
+    * constructs Java regex and RE2 (DuckDB) match identically.
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeishPattern), lit(0))
+
+  /** Token counts under the BPE-ish pre-tokenizer (compare n_words from
+    * [[tokenCounts]]: whitespace splitting undercounts punctuation-heavy
+    * text).
+    */
+  def bpeishTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(bpeishTokens(col("text"))).as("n_bpeish"),
+      size(array_distinct(bpeishTokens(col("text")))).as("n_bpeish_distinct"))
+
   /** Document fingerprint: md5 of the sorted distinct word set — the
-    * canonical-form fingerprint used for exact near-order-insensitive dedup
-    * (a deterministic stand-in for a rolling content hash).
+    * canonical-form fingerprint used for exact near-order-insensitive dedup.
     */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
 
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS scheme; cf. PAPERS.md): rolling character k-grams hashed, then
+    * the minimum hash of every w-gram window selected — any shared
+    * substring of length ≥ k+w-1 guarantees a shared fingerprint. Returns
+    * the sorted distinct selected hashes as `array<bigint>`.
+    *
+    * `gramHash` is pluggable like SimHash's word hash: xxhash64 for
+    * production, [[graft.operators.DedupOps.md5WordHash60]] for
+    * oracle-replication.
+    */
+  def winnowFingerprints(text: Column, k: Int, w: Int,
+      gramHash: Column => Column): Column = {
+    val n = length(text)
+    val grams = when(n >= k,
+      transform(sequence(lit(0), n - k),
+        j => gramHash(text.substr(j + 1, lit(k)))))
+      .otherwise(array(gramHash(text)))
+    val windows = when(size(grams) >= w,
+      transform(sequence(lit(0), size(grams) - w),
+        i => array_min(slice(grams, i + 1, lit(w)))))
+      .otherwise(array(array_min(grams)))
+    array_sort(array_distinct(windows))
+  }
 }

@@ -75,6 +75,41 @@ class DedupOpsSpec extends SparkSpec {
     assert(j((1L, 4L)) === 0.0)
   }
 
+  test("winnowing: identical docs share all fingerprints, disjoint none") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"), // identical
+      (3L, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq")  // disjoint
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.winnowDuplicates(d, k = 8, w = 4, minShared = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    // identical docs share EVERY selected fingerprint
+    val nFp = d.where($"doc_id" === 1)
+      .select(org.apache.spark.sql.functions.size(
+        TextOps.winnowFingerprints(col("text"), 8, 4, DedupOps.xxWordHash)))
+      .head().getInt(0)
+    assert(pairs.head._3 === nFp.toLong)
+    // a shared long substring guarantees a shared fingerprint (winnowing
+    // property: any match of length >= k+w-1 = 11 chars is caught)
+    val e = Seq(
+      (1L, "aaaaaaaaaaaaaaaaaaaaaaaaaa left context here"),
+      (2L, "other prefix aaaaaaaaaaaaaaaaaaaaaaaaaa tail")
+    ).toDF("doc_id", "text")
+    val shared = DedupOps.winnowDuplicates(e, 8, 4, minShared = 1)
+      .count()
+    assert(shared === 1)
+  }
+
+  test("bpeish tokenization counts letter/digit/punct runs") {
+    val d = Seq((1L, "don't stop—2024 rocks!!"), (2L, "")).toDF("doc_id", "text")
+    val got = TextOps.bpeishTokenCounts(d).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // don | ' | t | stop | — | 2024 | rocks | !!
+    assert(got(1L) === 8)
+    assert(got(2L) === 0)
+  }
+
   test("hot-bucket guard: adversarial identical corpus stays O(n·cap)") {
     // 300 byte-identical docs: every band key is identical, so the
     // unguarded self-join would emit 300·299/2 ≈ 45k candidate pairs
