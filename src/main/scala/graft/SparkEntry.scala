@@ -368,12 +368,12 @@ object Queries {
     * never all-pairs — with the hot-bucket guard on ubiquitous substrings.
     */
   def dWinnowDups(spark: SparkSession, dir: String): DataFrame =
-    // 16-char grams span ~3 words: on this shared-vocabulary corpus,
-    // shorter grams collide on single common words and the pair set
-    // degenerates toward all-pairs (k=8/w=4/min=5 emitted 79k pairs of a
-    // possible 125k; these settings emit 24 genuine shared-phrase pairs)
-    DedupOps.winnowDuplicates(docs(spark, dir), k = 16, w = 8, minShared = 10,
-        gramHash = DedupOps.md5WordHash60)
+    // word 3-grams: single common words collide corpus-wide on this
+    // shared-vocabulary fixture (char-8-gram winnowing emitted 79k of a
+    // possible 125k pairs; 3-word grams emit 24 genuine shared-phrase
+    // pairs) and cost ~6× fewer interpreted hash calls than char grams
+    DedupOps.winnowDuplicates(docs(spark, dir), kWords = 3, w = 4,
+        minShared = 5, gramHash = DedupOps.md5WordHash60)
       .orderBy("doc_a", "doc_b")
 
   def dFingerprintDups(spark: SparkSession, dir: String): DataFrame =
@@ -1032,28 +1032,28 @@ object Queries {
         |  CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))) AS INT) AS n_bpeish_distinct
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // full winnowing replication: rolling 16-gram md5-derived hashes, min
-    // of every 8-window, distinct selected hashes, pairs sharing >= 10
+    // full winnowing replication: word-3-gram md5-derived hashes, min of
+    // every 4-window, distinct selected hashes, pairs sharing >= 5
     "d_winnow_dups" ->
-      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
-        |grams AS (
-        |  SELECT doc_id, j,
-        |    CAST(concat('0x', substring(md5(substring(text, CAST(j AS INT)+1, 16)), 1, 15)) AS BIGINT) AS h
-        |  FROM (SELECT doc_id, text, n,
-        |          unnest(generate_series(0, CASE WHEN n >= 16 THEN n-16 ELSE 0 END)) AS j
-        |        FROM d)),
-        |arrs AS (SELECT doc_id, list(h ORDER BY j) AS hs FROM grams GROUP BY doc_id),
-        |wins AS (SELECT doc_id,
-        |  CASE WHEN len(hs) >= 8
-        |    THEN list_transform(range(1, len(hs)-6), i -> list_min(hs[i:i+7]))
-        |    ELSE [list_min(hs)] END AS wmins
-        |  FROM arrs),
-        |fps AS (SELECT DISTINCT doc_id, unnest(wmins) AS fp FROM wins)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       count(*) AS n_shared
-        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 10
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $shingleCte,
+         |hs AS (SELECT doc_id, list_transform(sh, g ->
+         |         CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)) AS hs
+         |       FROM (SELECT doc_id, CASE WHEN len(ws) >= 3
+         |               THEN list_transform(range(1, len(ws)-1),
+         |                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         |               ELSE [coalesce(array_to_string(ws,' '), '')] END AS sh
+         |             FROM w)),
+         |wins AS (SELECT doc_id,
+         |  CASE WHEN len(hs) >= 4
+         |    THEN list_transform(range(1, len(hs)-2), i -> list_min(hs[i:i+3]))
+         |    ELSE [list_min(hs)] END AS wmins
+         |  FROM hs),
+         |fps AS (SELECT DISTINCT doc_id, unnest(wmins) AS fp FROM wins)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       count(*) AS n_shared
+         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 5
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d_fingerprint_dups" ->
       """WITH fp AS (

@@ -239,19 +239,24 @@ object DedupOps {
 
   // ---- winnowing ----------------------------------------------------------
 
-  /** Near-duplicates via winnowing fingerprints
+  /** Near-duplicates via winnowing fingerprints over word `kWords`-shingles
     * ([[TextOps.winnowFingerprints]]): inverted index on the selected
     * hashes (explode → self-join keyed by fingerprint → per-pair shared
     * count) — one shuffle keyed by fingerprint, never all-pairs; the
-    * hot-bucket guard drops ubiquitous substrings. A pair is emitted when
+    * hot-bucket guard drops ubiquitous phrases. A pair is emitted when
     * it shares ≥ `minShared` fingerprints.
     */
-  def winnowDuplicates(docs: DataFrame, k: Int = 8, w: Int = 4,
+  def winnowDuplicates(docs: DataFrame, kWords: Int = 3, w: Int = 4,
       minShared: Int = 5, bucketCap: Int = 1000,
       gramHash: Column => Column = xxWordHash): DataFrame = {
-    val fps = docs.select(col("doc_id"),
-      explode(TextOps.winnowFingerprints(col("text"), k, w, gramHash))
-        .as("fp"))
+    // two-stage projection: the hashed gram array materializes once per
+    // row before the window-min transform references it (see
+    // TextOps.winnowSelect — inline it and every window re-evaluates the
+    // whole hash chain)
+    val hashed = docs.select(col("doc_id"),
+      transform(shingles(col("text"), kWords), g => gramHash(g)).as("hs"))
+    val fps = hashed.select(col("doc_id"),
+      explode(TextOps.winnowSelect(col("hs"), w)).as("fp"))
     val capped = capBuckets(fps, Seq("fp"), bucketCap)
     val l = capped.select(col("fp"), col("doc_id").as("doc_a"))
     val r = capped.select(col("fp"), col("doc_id").as("doc_b"))

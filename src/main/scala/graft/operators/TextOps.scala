@@ -99,26 +99,38 @@ object TextOps {
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
-    * MOSS scheme; cf. PAPERS.md): rolling character k-grams hashed, then
-    * the minimum hash of every w-gram window selected — any shared
-    * substring of length ≥ k+w-1 guarantees a shared fingerprint. Returns
+    * MOSS scheme; cf. PAPERS.md): the given gram sequence is hashed, then
+    * the minimum hash of every w-gram window selected — any shared gram
+    * run of length ≥ w+|gram|-1 guarantees a shared fingerprint. Returns
     * the sorted distinct selected hashes as `array<bigint>`.
     *
-    * `gramHash` is pluggable like SimHash's word hash: xxhash64 for
-    * production, [[graft.operators.DedupOps.md5WordHash60]] for
-    * oracle-replication.
+    * Grams are a caller-supplied array column (word shingles via
+    * [[graft.operators.DedupOps.shingles]] in the engine queries —
+    * character k-grams are expressible too but cost ~6× the hash calls for
+    * prose, and the per-gram hash is an interpreted lambda: measured 860 s
+    * vs <10 s at sf0.1). `gramHash` is pluggable like SimHash's word hash:
+    * xxhash64 for production, [[graft.operators.DedupOps.md5WordHash60]]
+    * for oracle-replication.
     */
-  def winnowFingerprints(text: Column, k: Int, w: Int,
-      gramHash: Column => Column): Column = {
-    val n = length(text)
-    val grams = when(n >= k,
-      transform(sequence(lit(0), n - k),
-        j => gramHash(text.substr(j + 1, lit(k)))))
-      .otherwise(array(gramHash(text)))
-    val windows = when(size(grams) >= w,
-      transform(sequence(lit(0), size(grams) - w),
-        i => array_min(slice(grams, i + 1, lit(w)))))
-      .otherwise(array(array_min(grams)))
+  def winnowFingerprints(grams: Column, w: Int,
+      gramHash: Column => Column): Column =
+    winnowSelect(transform(grams, g => gramHash(g)), w)
+
+  /** Window-min selection over a PRE-HASHED gram array.
+    *
+    * CRITICAL at scale: `hs` must be a materialized COLUMN (stage the hash
+    * transform through its own projection), not an inline expression —
+    * interpreted HOF lambdas get no common-subexpression elimination, so
+    * an inline `hs` is re-evaluated once PER WINDOW, turning O(n·w) into
+    * O(n²·hash) (measured 104 s vs 3 s at sf0.1). [[winnowFingerprints]]
+    * is the convenience single-expression form for small inputs;
+    * [[graft.operators.DedupOps.winnowDuplicates]] stages it.
+    */
+  def winnowSelect(hs: Column, w: Int): Column = {
+    val windows = when(size(hs) >= w,
+      transform(sequence(lit(0), size(hs) - w),
+        i => array_min(slice(hs, i + 1, lit(w)))))
+      .otherwise(array(array_min(hs)))
     array_sort(array_distinct(windows))
   }
 }

@@ -22,9 +22,13 @@ import graft.rules.{ReferentialRule, RuleSet}
   *  - referential rules: stream–static broadcast anti-join (the dimension is
   *    a static table, so no stream-stream join state is needed).
   *  - uniqueness: genuinely stateful — `flatMapGroupsWithState` keyed by
-  *    doc_id holding one long per key (the count seen so far). At cluster
-  *    scale state is hash-partitioned by key across executors and
-  *    checkpointed by the state store; no driver memory is involved.
+  *    doc_id holding (count, minSource) per key. At cluster scale state is
+  *    hash-partitioned by key across executors and checkpointed by the
+  *    state store; no driver memory is involved. State grows with the
+  *    distinct-key count BY DEFINITION of streaming uniqueness (there is
+  *    no sound TTL — an evicted key would silently re-admit duplicates);
+  *    size it with the RocksDB state store, where 10^12 keys × ~16 bytes
+  *    spill to local SSTs, not executor heap.
   */
 object StreamingValidation {
 

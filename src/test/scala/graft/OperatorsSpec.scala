@@ -77,26 +77,27 @@ class DedupOpsSpec extends SparkSpec {
 
   test("winnowing: identical docs share all fingerprints, disjoint none") {
     val d = Seq(
-      (1L, "the quick brown fox jumps over the lazy dog again"),
-      (2L, "the quick brown fox jumps over the lazy dog again"), // identical
-      (3L, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq")  // disjoint
+      (1L, "the quick brown fox jumps over the lazy dog again and again ok"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again ok"),
+      (3L, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk")  // disjoint
     ).toDF("doc_id", "text")
-    val pairs = DedupOps.winnowDuplicates(d, k = 8, w = 4, minShared = 5)
+    val pairs = DedupOps.winnowDuplicates(d, kWords = 3, w = 4, minShared = 2)
       .as[(Long, Long, Long)].collect().toSeq
     assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
     // identical docs share EVERY selected fingerprint
     val nFp = d.where($"doc_id" === 1)
       .select(org.apache.spark.sql.functions.size(
-        TextOps.winnowFingerprints(col("text"), 8, 4, DedupOps.xxWordHash)))
+        TextOps.winnowFingerprints(
+          DedupOps.shingles(col("text"), 3), 4, DedupOps.xxWordHash)))
       .head().getInt(0)
     assert(pairs.head._3 === nFp.toLong)
-    // a shared long substring guarantees a shared fingerprint (winnowing
-    // property: any match of length >= k+w-1 = 11 chars is caught)
+    // a shared word run of >= kWords+w+1 grams guarantees a shared
+    // fingerprint (the winnowing guarantee, word-gram form)
     val e = Seq(
-      (1L, "aaaaaaaaaaaaaaaaaaaaaaaaaa left context here"),
-      (2L, "other prefix aaaaaaaaaaaaaaaaaaaaaaaaaa tail")
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota unique1 tail1"),
+      (2L, "pre2 alpha beta gamma delta epsilon zeta eta theta iota other2")
     ).toDF("doc_id", "text")
-    val shared = DedupOps.winnowDuplicates(e, 8, 4, minShared = 1)
+    val shared = DedupOps.winnowDuplicates(e, 3, 4, minShared = 1)
       .count()
     assert(shared === 1)
   }
