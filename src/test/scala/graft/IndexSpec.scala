@@ -33,6 +33,29 @@ class IndexSpec extends SparkSpec {
     assert(pf.contains("IN") || pf.contains("in("), pf)
   }
 
+  test("ivf probe READS fewer files than the index holds (numFiles metric)") {
+    val (idx, cent) = VectorIndex.ivf(spark, embs, "spec0001", 8)
+    val totalFiles = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(idx))
+    }
+    val q = VectorIndex.ivfTopK(spark, idx, cent, qv, k = 10, nProbe = 2)
+    q.collect()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val exec = q.queryExecution.executedPlan
+    val scans = (exec.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+      .flatMap(_.collect { case f: FileSourceScanExec => f }) ++
+      exec.collect { case f: FileSourceScanExec => f }).distinct
+    assert(scans.nonEmpty)
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    assert(filesRead > 0)
+    assert(filesRead < totalFiles,
+      s"probe read $filesRead of $totalFiles index files — no pruning")
+  }
+
   test("ivf with all centroids probed equals exact brute force") {
     val (idx, cent) = VectorIndex.ivf(spark, embs, "spec0001", 8)
     val viaIndex = VectorIndex.ivfTopK(spark, idx, cent, qv, 10, nProbe = 8)
