@@ -39,6 +39,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "dot_product(a, b) needs 2 arguments")
         graft.functions.DotProduct(children(0), children(1))
       }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(
+        classOf[graft.functions.CosineSim].getName, "cosine_sim",
+        "cosine_sim(a, b) - fused single-pass cosine similarity of two " +
+          "array<double> columns (0.0 when either norm is zero)."),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cosine_sim(a, b) needs 2 arguments")
+        graft.functions.CosineSim(children(0), children(1))
+      }))
   }
 }
 

@@ -36,7 +36,17 @@ object SimilarityOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity — the fused single-pass native expression
+    * ([[graft.functions.CosineSim]]): one loop accumulates dot + both
+    * norms instead of three array walks, bit-identical to the composed
+    * `dot/(sqrt·sqrt)` form (pinned by spec).
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
+
+  /** Composed three-pass formulation — the reference semantics the fused
+    * expression is tested against.
+    */
+  def cosineComposed(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>")
     val bd = b.cast("array<double>")
     val den = norm(ad) * norm(bd)

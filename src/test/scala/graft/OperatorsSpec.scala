@@ -206,6 +206,34 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(viaSql === expected)
   }
 
+  test("fused CosineSim is bit-identical to the composed dot/sqrt form") {
+    val vecs = (0 until 150).map { r =>
+      (r.toLong, Array.tabulate(48)(j => math.sin(r * 13 + j * 7) * 0.4))
+    }.toDF("vec_id", "embedding")
+    val a = vecs.select(col("vec_id"), col("embedding").as("ea"))
+    val b = vecs.select((col("vec_id") + 1).as("vec_id"),
+      col("embedding").as("eb"))
+    val both = a.join(b, "vec_id")
+      .select(SimilarityOps.cosine(col("ea"), col("eb")).as("fused"),
+        SimilarityOps.cosineComposed(col("ea"), col("eb")).as("composed"))
+      .collect()
+    assert(both.length === 149)
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    // zero-norm guard
+    val z = Seq((Array(0.0, 0.0), Array(1.0, 0.0))).toDF("za", "zb")
+      .select(SimilarityOps.cosine(col("za"), col("zb")))
+      .head().getDouble(0)
+    assert(z === 0.0)
+    // SQL surface
+    vecs.createOrReplaceTempView("cosspec_vecs")
+    val viaSql = spark.sql(
+      """SELECT cosine_sim(CAST(embedding AS ARRAY<DOUBLE>),
+        |                  CAST(embedding AS ARRAY<DOUBLE>)) AS c
+        |FROM cosspec_vecs WHERE vec_id = 3""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(viaSql - 1.0) < 1e-12)
+  }
+
   test("cosine is exact on unit vectors") {
     val c = embs.select(
       SimilarityOps.cosine(col("embedding"),
