@@ -24,8 +24,8 @@ object Checkpoint {
 
   def read(spark: SparkSession, manifestPath: String): DataFrame = {
     import spark.implicits._
-    val p = new java.io.File(manifestPath)
-    if (p.exists()) spark.read.parquet(manifestPath)
+    if (graft.sources.Fs.exists(spark, manifestPath))
+      spark.read.parquet(manifestPath)
     else spark.emptyDataset[ManifestEntry].toDF()
   }
 
@@ -36,10 +36,15 @@ object Checkpoint {
       .select("partition").distinct()
       .collect().map(_.getString(0)).toSeq
 
+  /** Append entries, stamping the generation (`run_ts`) so later
+    * reconstruction can pick the newest entry per partition
+    * deterministically across append generations.
+    */
   def append(spark: SparkSession, manifestPath: String,
       entries: Seq[ManifestEntry]): Unit = {
     import spark.implicits._
-    entries.toDS().toDF()
+    val ts = System.nanoTime()
+    entries.map(_.copy(run_ts = ts)).toDS().toDF()
       .write.mode(SaveMode.Append).parquet(manifestPath)
   }
 }
@@ -50,7 +55,13 @@ object ValidationRunner {
   final case class RunResult(
       validatedPartitions: Seq[String],
       skippedPartitions: Seq[String],
-      summary: DataFrame)
+      summary: DataFrame,
+      /** Partitions whose contained per-partition fallback FAILED — nonempty
+        * means the run is partial (validated + skipped + failed covers all
+        * partitions); callers must not misread a contained-failure run as
+        * clean.
+        */
+      failedPartitions: Seq[String] = Nil)
 
   /** Validate all partitions not yet marked ok in the manifest at this
     * snapshot, append their metrics, and return the per-partition summary.
@@ -74,12 +85,16 @@ object ValidationRunner {
 
     if (pending.isEmpty) {
       // only ok rows: a failed attempt appends status='error:…' rows with
-      // zeroed metrics; after a successful resume both generations coexist
-      // in the append-only manifest, so reconstruct from ok rows and keep
-      // one entry per partition
+      // zeroed metrics; after a successful resume — or a re-run at the same
+      // snapshot after upstream data changed — several ok generations
+      // coexist in the append-only manifest. Keep the LATEST (max run_ts)
+      // entry per partition, deterministically.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("partition")
+        .orderBy(col("run_ts").desc, col("n_rows").desc)
       val summary = Checkpoint.read(spark, manifestPath)
         .where(col("snapshot_id") === snapshotId && col("status") === "ok")
-        .dropDuplicates("partition")
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
         .select(col("partition").as("source"), col("n_rows"),
           col("n_violations"), (col("n_violations") === 0).as("pass"))
       return RunResult(Nil, all, summary)
@@ -116,11 +131,12 @@ object ValidationRunner {
         }
         Checkpoint.append(spark, manifestPath, perPart)
         val okParts = perPart.filter(_.status == "ok").map(_.partition)
+        val failed = perPart.filterNot(_.status == "ok").map(_.partition)
         import spark.implicits._
         val recovered = perPart.filter(_.status == "ok")
           .map(m => (m.partition, m.n_rows, m.n_violations, m.n_violations == 0))
           .toDF("source", "n_rows", "n_violations", "pass")
-        return RunResult(okParts, done, recovered)
+        return RunResult(okParts, done, recovered, failed)
     }
     val wallMs = (System.nanoTime() - t0) / 1000000
     val entries = rows.map { r =>

@@ -145,6 +145,16 @@ object Validator {
   def violationsRouted(
       df: DataFrame, routing: RuleSetLoader.Routing,
       dims: Map[String, DataFrame]): DataFrame = {
+    // Fail fast on dangling config: a source routed to a nonexistent rule
+    // set would otherwise be excluded from the default gate yet get no
+    // rules — silently skipping validation for that slice.
+    val unknown = routing.routing.collect {
+      case (src, set) if !routing.ruleSets.contains(set) => s"$src -> $set"
+    }
+    require(unknown.isEmpty,
+      s"routing targets missing from ruleSets: ${unknown.mkString(", ")}")
+    require(routing.ruleSets.contains(routing.defaultRuleSet),
+      s"defaultRuleSet '${routing.defaultRuleSet}' missing from ruleSets")
     val routedTo: Map[String, Seq[String]] =
       routing.routing.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap
     val routedElsewhere: Map[String, Seq[String]] =
@@ -154,11 +164,16 @@ object Validator {
         }.toSeq.sorted
       }.toMap
 
+    // Null-safe default gate: `!isin` yields NULL for a NULL source, which
+    // would drop the row from EVERY rule set — a row silently escaping all
+    // validation, the validator's core failure mode. A NULL source is by
+    // definition unrouted, so it belongs to the default set (whose notNull
+    // rules are exactly what should see it).
     def gateFor(setName: String): Option[Column] =
       if (setName == routing.defaultRuleSet) {
         val others = routedElsewhere(setName)
         if (others.isEmpty) None
-        else Some(!col("source").isin(others: _*))
+        else Some(coalesce(!col("source").isin(others: _*), lit(true)))
       } else Some(col("source").isin(routedTo.getOrElse(setName, Nil): _*))
 
     val sets = routing.ruleSets.toSeq.sortBy(_._1)

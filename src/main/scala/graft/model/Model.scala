@@ -56,4 +56,10 @@ final case class ManifestEntry(
     status: String,
     n_rows: Long,
     n_violations: Long,
-    wall_ms: Long)
+    wall_ms: Long,
+    /** Append-generation stamp (monotonic per appender): reconstruction
+      * selects the LATEST ok entry per partition deterministically when the
+      * append-only manifest holds several generations (a re-run at the same
+      * snapshot after upstream data changed).
+      */
+    run_ts: Long = 0L)

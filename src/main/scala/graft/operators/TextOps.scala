@@ -83,11 +83,18 @@ object TextOps {
   /** Token counts under the BPE-ish pre-tokenizer (compare n_words from
     * [[tokenCounts]]: whitespace splitting undercounts punctuation-heavy
     * text).
+    *
+    * The extraction is STAGED through its own projection so the regex runs
+    * once per row — inlining `bpeishTokens` twice (raw + under
+    * array_distinct) evaluates the pattern twice per row (measured ~2×
+    * the scan cost; CollapseProject keeps the stage because the non-cheap
+    * alias is referenced more than once).
     */
   def bpeishTokenCounts(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      size(bpeishTokens(col("text"))).as("n_bpeish"),
-      size(array_distinct(bpeishTokens(col("text")))).as("n_bpeish_distinct"))
+    docs.select(col("doc_id"), bpeishTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_bpeish"),
+        size(array_distinct(col("toks"))).as("n_bpeish_distinct"))
 
   /** Document fingerprint: md5 of the sorted distinct word set — the
     * canonical-form fingerprint used for exact near-order-insensitive dedup.

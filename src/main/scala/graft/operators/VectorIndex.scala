@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.io.File
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -36,8 +35,8 @@ object VectorIndex {
   private val cacheBase =
     sys.env.getOrElse("GRAFT_VEC_INDEX", "/tmp/graft_vec_index")
 
-  private def ready(dir: String): Boolean =
-    new File(dir, "_SUCCESS").exists()
+  private def ready(spark: SparkSession, dir: String): Boolean =
+    graft.sources.Fs.successExists(spark, dir)
 
   // ---- IVF ------------------------------------------------------------
 
@@ -52,7 +51,7 @@ object VectorIndex {
     val base = s"$cacheBase/ivf_${tag}_c${nCentroids}_k$kmeansIters"
     val idx = s"$base/index"
     val cent = s"$base/centroids"
-    if (!ready(idx)) {
+    if (!ready(spark, idx)) {
       val e = embeddings
       val cents =
         if (kmeansIters > 0)
@@ -101,7 +100,7 @@ object VectorIndex {
   def lsh(spark: SparkSession, embeddings: => DataFrame, tag: String,
       bands: Int, rowsPerBand: Int): String = synchronized {
     val idx = s"$cacheBase/lsh_${tag}_b${bands}x$rowsPerBand/index"
-    if (!ready(idx)) {
+    if (!ready(spark, idx)) {
       val e = embeddings
       DedupOps.embeddingBands(e, bands, rowsPerBand)
         .join(e, Seq("vec_id"))

@@ -107,10 +107,21 @@ object ReportOps {
     * partitions when the table is stored by source.
     */
   def assemble(summary: DataFrame, detailed: DataFrame,
-      metadataRules: Seq[String]): DataFrame = {
-    val included: Seq[String] =
-      includeSources(summary).collect().map(_.getString(0)).toSeq
-    val scoped = detailed.where(col("source").isin(included: _*))
+      metadataRules: Seq[String],
+      isinThreshold: Int = 1024): DataFrame = {
+    val included: Seq[String] = includeSources(summary)
+      .limit(isinThreshold + 1).collect().map(_.getString(0)).toSeq
+    // Above the threshold the literal list degenerates (driver memory +
+    // predicate size grow with source cardinality): fall back to a broadcast
+    // semi-join. It re-embeds the summary subtree into each union branch
+    // (the measured 39-scan cost the isin avoids), so it is the guard, not
+    // the default — the common case is partition-count-cardinality sources.
+    val scoped =
+      if (included.size <= isinThreshold)
+        detailed.where(col("source").isin(included: _*))
+      else
+        detailed.join(broadcast(includeSources(summary)), Seq("source"),
+          "left_semi")
     scoped
       .select(
         when(col("rule_id").isin(metadataRules: _*), "fdpg")

@@ -196,7 +196,12 @@ object RuleSetLoader {
     val sets = (root \ "ruleSets") match {
       case JObject(fields) => fields.map { case (name, JArray(rs)) =>
         name -> RuleSet(name, rs.map(parseRule))
-      case (name, _) => name -> RuleSet(name, Nil)
+      // A malformed rule-set body must FAIL, never silently become an empty
+      // rule set: a typo'd config that validates nothing and reports zero
+      // violations is the exact inverse of the engine's containment policy
+      // (errors surface as violation rows, Validator.violationsContained).
+      case (name, other) => throw new IllegalArgumentException(
+        s"rule set '$name' must be a JSON array of rules, got: $other")
       }.toMap
       case _ => Map.empty[String, RuleSet]
     }

@@ -29,12 +29,12 @@ object EventSource {
     spark.read.parquet(s"$sfDir/events.parquet")
 
   def materializedPath(spark: SparkSession, sfDir: String): String = synchronized {
-    val dir = new java.io.File(
-      s"$cacheBase/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_events")
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+    val dir =
+      s"$cacheBase/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_events"
+    if (!Fs.successExists(spark, dir)) {
       events(spark, sfDir).repartition(4)
-        .write.mode("overwrite").parquet(dir.toString)
+        .write.mode("overwrite").parquet(dir)
     }
-    dir.toString
+    dir
   }
 }

@@ -87,13 +87,13 @@ object JsonIngest {
 
   /** Materialize the JSON corpus for an sf dir once; returns its path. */
   def materializedJson(spark: SparkSession, sfDir: String): String = synchronized {
-    val dir = new java.io.File(
-      s"$cacheBase/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_json")
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+    val dir =
+      s"$cacheBase/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_json"
+    if (!Fs.successExists(spark, dir)) {
       jsonLines(TokenTable.fromLineitemKeyed(TokenTable.lineitem(spark, sfDir)))
         .repartition(16)
-        .write.mode("overwrite").text(dir.toString)
+        .write.mode("overwrite").text(dir)
     }
-    dir.toString
+    dir
   }
 }

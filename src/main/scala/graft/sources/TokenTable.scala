@@ -63,15 +63,15 @@ object TokenTable {
   def materializedPath(spark: SparkSession, sfDir: String, variant: String = "full"): String = synchronized {
     // _v2: schema gained `okey` (FK to orders for the big-dimension
     // referential check) — the suffix invalidates pre-okey caches
-    val dir = new java.io.File(
-      s"$cacheBase/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_${variant}_v2")
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+    val dir =
+      s"$cacheBase/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_${variant}_v2"
+    if (!Fs.successExists(spark, dir)) {
       val li0 = lineitem(spark, sfDir)
       val li = if (variant == "even") li0.where(li0("l_orderkey") % 2 === 0)
                else li0
-      write(fromLineitem(li), dir.toString)
+      write(fromLineitem(li), dir)
     }
-    dir.toString
+    dir
   }
 
   /** Cache writer: fixed 32-way layout with small parquet row groups.
@@ -96,18 +96,18 @@ object TokenTable {
     * rate — same workload character, K× the volume. Materialized once.
     */
   def tokensScaled(spark: SparkSession, sfDir: String, k: Int): DataFrame = synchronized {
-    val dir = new java.io.File(
-      s"$cacheBase/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_x${k}_v2")
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+    val dir =
+      s"$cacheBase/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_x${k}_v2"
+    if (!Fs.successExists(spark, dir)) {
       val li = lineitem(spark, sfDir)
       val replicas = spark.range(k).toDF("r")
       val scaled = li.crossJoin(replicas)
         .withColumn("l_orderkey",
           li("l_orderkey") + org.apache.spark.sql.functions.col("r") * 10000000L)
         .drop("r")
-      write(fromLineitem(scaled), dir.toString)
+      write(fromLineitem(scaled), dir)
     }
-    spark.read.parquet(dir.toString)
+    spark.read.parquet(dir)
   }
 
   /** Token view over an arbitrary lineitem slice (drift baselines carve

@@ -145,4 +145,48 @@ class ValidatorSpec extends SparkSpec {
     assert(routing.ruleSets("strict").rules.head ==
       RangeRule("rg", "n_tok", 1, 10, "warning", None))
   }
+
+  test("malformed rule-set body fails loudly, never an empty rule set") {
+    val bad = """{"ruleSets": {"oops": {"type":"notNull"}},
+                | "routing": {}, "defaultRuleSet": "oops"}""".stripMargin
+    val e = intercept[IllegalArgumentException](RuleSetLoader.parse(bad))
+    assert(e.getMessage.contains("oops"))
+  }
+
+  test("routing to a nonexistent rule set fails fast") {
+    val routing = RuleSetLoader.parse(
+      """{"ruleSets": {"default": [{"type":"notNull","id":"nn","column":"tokens"}]},
+        | "routing": {"A": "no_such_set"}, "defaultRuleSet": "default"}""".stripMargin)
+    val e = intercept[IllegalArgumentException](
+      Validator.violationsRouted(fixture, routing, dims))
+    assert(e.getMessage.contains("no_such_set"))
+  }
+
+  test("routed dispatch: NULL source rows fall to the default rule set") {
+    val routing = RuleSetLoader.parse(
+      """{ "ruleSets": {
+        |   "strict": [
+        |     {"type":"notNull","id":"not_null_source","column":"source","severity":"fatal"},
+        |     {"type":"notNull","id":"not_null_tokens","column":"tokens","severity":"fatal"}
+        |   ],
+        |   "lenient": [
+        |     {"type":"lengthConsistency","id":"len_consistency","arrayColumn":"tokens","lengthColumn":"n_tok"}
+        |   ]},
+        |  "routing": { "A": "lenient" },
+        |  "defaultRuleSet": "strict" }""".stripMargin)
+    val df = Seq(
+      TokenRow("null-src", Array(1), 1, null), // must hit strict's notNull
+      TokenRow("a-1", Array(1), 2, "A"),       // lenient: len mismatch
+      TokenRow("n-null", null, 1, "N")         // strict: null tokens
+    ).toDF
+    val got = Validator.canonical(
+        Validator.violationsRouted(df, routing, dims))
+      .as[(String, String, String)].collect().toSet
+    assert(got === Set(
+      ("null-src", "not_null_source",
+        "source is null: minimum required = 1, but only found 0"),
+      ("a-1", "len_consistency", "n_tok=2 size=1"),
+      ("n-null", "not_null_tokens",
+        "tokens is null: minimum required = 1, but only found 0")))
+  }
 }
