@@ -136,6 +136,52 @@ object ReportOps {
         col("severity"), col("rule_id"), col("detail_generic"), col("cnt"))
   }
 
+  /** Persist an assembled report as a snapshot-stamped parquet artifact —
+    * the engine analogue of the reference writing one timestamped JSON
+    * report per run (extraction/main.py:296-304). Returns the artifact
+    * path. Reports are small (deduped issue groups), so one file per
+    * snapshot; the snapshot id lives in the directory name, making
+    * latest-selection a pure listing operation (no mtime dependence —
+    * object stores don't preserve useful mtimes).
+    */
+  def persistReport(report: DataFrame, baseDir: String,
+      snapshotId: Long): String = {
+    val dir = s"$baseDir/report_snap=$snapshotId"
+    report.coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Path of the newest persisted report under `baseDir` (max snapshot id
+    * parsed from the directory name — the reference picks its newest report
+    * by file mtime, report_visualizer.py:505-509; snapshot-in-name is the
+    * deterministic, object-store-safe equivalent). Hadoop FileSystem
+    * listing, so it works on HDFS/S3 unchanged.
+    */
+  def latestReportPath(spark: org.apache.spark.sql.SparkSession,
+      baseDir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .flatMap { d =>
+        d.getName match {
+          case s if s.startsWith("report_snap=") =>
+            scala.util.Try(s.stripPrefix("report_snap=").toLong).toOption
+              .map(_ -> d.toString)
+          case _ => None
+        }
+      }
+      .sortBy(_._1).lastOption.map(_._2)
+  }
+
+  /** Reload the newest persisted report (fails if none exists). */
+  def latestReport(spark: org.apache.spark.sql.SparkSession,
+      baseDir: String): DataFrame =
+    spark.read.parquet(latestReportPath(spark, baseDir).getOrElse(
+      throw new IllegalStateException(s"no persisted report under $baseDir")))
+
   /** Distribution pivot (report_visualizer.py:21-57): per-source histogram
     * rows widened to one row per source with `--` for missing buckets.
     */

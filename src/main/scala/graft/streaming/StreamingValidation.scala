@@ -85,6 +85,39 @@ object StreamingValidation {
         })
   }
 
+  /** One-shot STATEFUL streaming uniqueness over a parquet token table
+    * (Trigger.AvailableNow): [[uniqueViolationStream]]'s per-key
+    * (count, minSource) state emits a row each time new duplicates of a key
+    * arrive; since the running count strictly increases per emission, the
+    * FINAL emission per key (max count) carries the key's total count and
+    * global min source — which must equal the batch
+    * [[Validator.uniqueViolations]] row exactly, independent of how files
+    * split into micro-batches. Returns (doc_id, cnt, source).
+    */
+  def runUniqueAvailableNow(
+      spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 32): DataFrame = {
+    val stream = spark.readStream
+      .schema(tokenSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+    val name = s"graft_stream_unique_${System.nanoTime()}"
+    val q = uniqueViolationStream(stream).toDF().writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("doc_id"),
+        regexp_extract(col("detail"), "occurs ([0-9]+) times", 1)
+          .cast("bigint").as("cnt"),
+        col("source"))
+      .groupBy("doc_id")
+      .agg(max(col("cnt")).as("cnt"),
+        max_by(col("source"), col("cnt")).as("source"))
+  }
+
   /** One-shot streaming run over a (partitioned) parquet token table using
     * `Trigger.AvailableNow`: processes the table as a bounded stream of
     * micro-batches (`maxFilesPerTrigger` files each) and returns the final
