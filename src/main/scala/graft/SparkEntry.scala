@@ -172,6 +172,59 @@ object Queries {
       .orderBy("source", "rule_id")
   }
 
+  /** Routing config at the REFERENCE's cardinality (VERDICT r2 #1): the
+    * reference dispatches 827 per-LOINC profiles
+    * (maps/validation_mapping.json:4-833); here `nSets` per-bucket profiles
+    * (default 400), each with 3 rules and a per-set range bound, routed-to
+    * by 4 source names each (1600 routing entries) — generated as JSON and
+    * run through the same [[graft.rules.RuleSetLoader]] a user's config
+    * takes.
+    */
+  def wideRoutingJson(nSets: Int): String = {
+    val sets = (0 until nSets).map { b =>
+      s""""p$b": [
+         |  {"type":"notNull","id":"nn","column":"tokens","severity":"fatal"},
+         |  {"type":"lengthConsistency","id":"lc","arrayColumn":"tokens","lengthColumn":"n_tok"},
+         |  {"type":"range","id":"rng","column":"n_tok","lo":1,"hi":${10 + b % 37}}
+         |]""".stripMargin
+    }.mkString(",\n")
+    val routes = (for {
+      base <- Seq("A", "N", "R", "bogus")
+      b <- 0 until nSets
+    } yield s""""${base}_$b": "p$b"""").mkString(",\n")
+    s"""{ "ruleSets": { $sets,
+       |    "fallback": [ {"type":"notNull","id":"nn_src","column":"source","severity":"fatal"} ]
+       |  },
+       |  "routing": { $routes },
+       |  "defaultRuleSet": "fallback" }""".stripMargin
+  }
+
+  /** Widened token view: `source` gains an okey-derived bucket suffix, so
+    * the 4-source fixture becomes a 1600-source domain — the cardinality a
+    * per-code dispatch actually sees.
+    */
+  def tokWide(spark: SparkSession, dir: String, nSets: Int): DataFrame =
+    tok(spark, dir).withColumn("source",
+      concat(col("source"), lit("_"), (col("okey") % nSets).cast("string")))
+
+  /** Wide routed dispatch: 400 rule sets in ONE scan through the
+    * PARAMETERIZED routing compiler ([[Validator.violationsRoutedWide]] —
+    * the homogeneous family collapses to 2 shared rules + 1 broadcast-
+    * parameterized bounds template + 1 default rule, so per-row cost and
+    * generated-code size are independent of rule-set count). Codegen health
+    * of the plan (whole-stage compiled, JIT-sized methods, single scan) is
+    * asserted by WideRoutingSpec, which also pins the chunk-staged GATED
+    * path ([[Validator.violationsRouted]]) equal at the same width; this
+    * query pins the result against a closed-form oracle.
+    */
+  def vRoutedWide(spark: SparkSession, dir: String): DataFrame = {
+    val routing = graft.rules.RuleSetLoader.parse(wideRoutingJson(400))
+    Validator.ruleMatrix(
+        Validator.violationsRoutedWide(tokWide(spark, dir, 400), routing,
+          dims(spark)))
+      .orderBy("source", "rule_id")
+  }
+
   /** End-to-end assembled report (VERDICT r1 #5): inclusion predicate +
     * category split + dedup + severity rank/color in one call.
     */
@@ -620,6 +673,7 @@ object Queries {
     "v_summary" -> (vSummary _),
     "v_rule_matrix" -> (vRuleMatrix _),
     "v_routed_matrix" -> (vRoutedMatrix _),
+    "v_routed_wide" -> (vRoutedWide _),
     "r_report_full" -> (rReportFull _),
     "v_dedup_issues" -> (vDedupIssues _),
     "v_stats" -> (vStats _),
@@ -814,6 +868,26 @@ object Queries {
          |  SELECT doc_id, 'unique_doc_id', minsrc AS source
          |  FROM (SELECT doc_id, count(*) AS cnt, min(source) AS minsrc
          |        FROM tok WHERE source <> 'R' GROUP BY doc_id) WHERE cnt > 1
+         |)
+         |SELECT source, rule_id, count(*) AS violations FROM v
+         |GROUP BY source, rule_id ORDER BY source, rule_id""".stripMargin,
+
+    // closed-form replica of the 400-set wide dispatch: bucket b = okey%400
+    // selects rule set p_b, whose range bound is 10 + (b % 37)
+    "v_routed_wide" ->
+      s"""WITH $cte,
+         |tw AS (SELECT doc_id, n_tok, n_true, tokens_null,
+         |              source || '_' || CAST(okey % 400 AS VARCHAR) AS source,
+         |              okey % 400 AS b
+         |       FROM tok),
+         |v AS (
+         |  SELECT doc_id, 'nn' AS rule_id, source FROM tw WHERE tokens_null
+         |  UNION ALL
+         |  SELECT doc_id, 'lc', source FROM tw
+         |  WHERE NOT tokens_null AND n_tok <> n_true
+         |  UNION ALL
+         |  SELECT doc_id, 'rng', source FROM tw
+         |  WHERE n_tok < 1 OR n_tok >= 10 + (b % 37)
          |)
          |SELECT source, rule_id, count(*) AS violations FROM v
          |GROUP BY source, rule_id ORDER BY source, rule_id""".stripMargin,

@@ -36,23 +36,81 @@ object Validator {
     * Spark analogue of the reference dispatching 827 per-code profiles
     * without re-reading pages, maps/validation_mapping.json:4-833).
     */
+  /** Above this many gated rules, the single-projection hits expression is
+    * chunk-staged: whole-stage codegen inlines ALL expression code into one
+    * `doConsume` method (variable-mode codegen cannot split), and past a few
+    * hundred 3-part rules that method exceeds Janino's 64 KB limit
+    * (measured: 1200 gated rules fail to compile in one WSCG projection).
+    */
+  private val GatedRuleChunkThreshold = 192
+
+  /** >= spark.sql.codegen.maxFields (100): a staged projection this wide is
+    * EXCLUDED from whole-stage codegen, so it compiles as a row-based
+    * UnsafeProjection — which CAN split generated code into JIT-sized
+    * methods. Row-based expression codegen, not interpretation: the cost vs
+    * WSCG is the row-materialization boundary, not a 24× interpreter drop.
+    */
+  private val GatedRuleChunks = 101
+
   def rowViolationsGated(
       df: DataFrame, rules: Seq[(Rule, Option[Column])]): DataFrame = {
-    val hits = array(rules.map { case (rule, gate) =>
-      val r = RuleCompiler.compileRow(rule)
-      val violated = gate.map(_ && r.violated).getOrElse(r.violated)
-      when(violated, struct(
-        lit(r.id).as("rule_id"),
-        r.detail.as("detail"),
-        lit(r.severity).as("severity")))
-    }: _*)
+    // The hits array is a CONCAT of per-rule conditional sub-arrays (empty
+    // when the rule passes), not `array(when…)` + a higher-order `filter`:
+    // every HigherOrderFunction is CodegenFallback, and ONE such expression
+    // in the projection bars the whole stage from whole-stage codegen — at
+    // 827-profile dispatch cardinality that means evaluating hundreds of
+    // interpreted CaseWhen branches per row. Concat/CaseWhen/CreateArray
+    // all codegen, so the full multi-rule-set pass stays one compiled loop
+    // (asserted by WideRoutingSpec at 400 rule sets / 1200 gated rules).
+    val noHit = array().cast(
+      "array<struct<rule_id:string,detail:string,severity:string>>")
+    def hitsOf(rs: Seq[(Rule, Option[Column])]): Column =
+      concat(rs.map { case (rule, gate) =>
+        val r = RuleCompiler.compileRow(rule)
+        val violated = gate.map(_ && r.violated).getOrElse(r.violated)
+        when(violated, array(struct(
+          lit(r.id).as("rule_id"),
+          r.detail.as("detail"),
+          lit(r.severity).as("severity"))))
+          .otherwise(noHit)
+      }: _*)
+
     // NOTE: no `where(size(hits) > 0)` — explode already drops empty
     // arrays, and an explicit filter gets pushed below the source
-    // projection by PushDownPredicates, re-inlining the (non-codegen,
-    // higher-order) hits expression into an interpreted Filter and
-    // evaluating it twice per row (observed 24× slowdown at sf0.1).
-    df.select(col("doc_id"), col("source"),
-        filter(hits, h => h.isNotNull).as("hits"))
+    // projection by PushDownPredicates, re-inlining the hits expression
+    // into a Filter and evaluating it twice per row (observed 24×
+    // slowdown at sf0.1 in the interpreted-HOF era; still 2× wasted today).
+    val withHits =
+      if (rules.size <= GatedRuleChunkThreshold)
+        df.select(col("doc_id"), col("source"), hitsOf(rules).as("hits"))
+      else {
+        // chunk-stage: ≥101 chunk columns push the projection out of WSCG
+        // (splittable row-based codegen — Janino-safe at any rule count);
+        // the re-concat references each chunk TWICE (when/otherwise, same
+        // value) so CollapseProject cannot re-inline the non-cheap aliases
+        // back into one giant single-method projection.
+        val chunkSize = (rules.size + GatedRuleChunks - 1) / GatedRuleChunks
+        val chunks = rules.grouped(chunkSize).toSeq
+        val staged = df.select(
+          col("doc_id") +: col("source") +:
+            chunks.zipWithIndex.map { case (c, i) => hitsOf(c).as(s"_h$i") }: _*)
+        // The always-empty NONDETERMINISTIC tail (slice start touches
+        // spark_partition_id()) makes the hits alias non-pushable:
+        // InferFiltersFromGenerate infers `size(hits) > 0` from the explode
+        // and PushDownPredicates would otherwise substitute the ENTIRE rule
+        // array into a scan-stage Filter — un-splittable in whole-stage
+        // codegen, and the very 64 KB overflow the chunking exists to
+        // prevent. With the tail, the inferred filter stays above this
+        // projection as a cheap attribute check. (The slice(…,1,size) form
+        // double-references each chunk so CollapseProject keeps the stage.)
+        val nondetEmptyTail =
+          slice(noHit, spark_partition_id() * 0 + 1, lit(0))
+        staged.select(col("doc_id"), col("source"),
+          concat(chunks.indices.map(i =>
+            slice(col(s"_h$i"), lit(1), size(col(s"_h$i"))))
+            :+ nondetEmptyTail: _*).as("hits"))
+      }
+    withHits
       .select(col("doc_id"), explode(col("hits")).as("v"), col("source"))
       .select(col("doc_id"), col("v.rule_id").as("rule_id"),
         col("v.detail").as("detail"), col("v.severity").as("severity"),
@@ -195,6 +253,127 @@ object Validator {
       rs.uniqueRules.map(uniqueViolations(slice, _))
     }
     (Seq(rowPart) ++ refs ++ uniq).reduce(_ unionByName _)
+  }
+
+  /** Routed dispatch at HIGH rule-set cardinality for HOMOGENEOUS rule-set
+    * families — the reference's actual shape: its 827 per-LOINC profiles
+    * share one structure and differ only in parameters
+    * (maps/validation_mapping.json:4-833). Instead of gating each set's
+    * rules (per-row cost O(#sets × #rules), and a generated-code size that
+    * grows with the config), the family compiles to:
+    *
+    *  - rules IDENTICAL across all routed sets → evaluated once, gated only
+    *    by membership in the routed-source domain;
+    *  - [[graft.rules.RangeRule]]s that differ only in bounds → ONE
+    *    [[graft.rules.ColumnBoundsRule]] template whose bounds are joined
+    *    from a broadcast parameter dimension (source, lo, hi) built from
+    *    the routing config;
+    *  - the default rule set's rules → gated by NOT-routed (null-safe).
+    *
+    * One scan + one broadcast hash join; per-row cost O(#templates),
+    * INDEPENDENT of rule-set count — 827 or 80,000 profiles cost the same
+    * per row, and the generated code stays constant-size (WideRoutingSpec
+    * asserts whole-stage codegen with JIT-sized methods at 400 sets).
+    *
+    * Falls back to [[violationsRouted]] (gated, chunk-staged) when the
+    * family is NOT homogeneous — heterogeneous sets cannot parameterize.
+    * Row-rule sets only (referential/unique rules → use violationsRouted).
+    */
+  def violationsRoutedWide(
+      df: DataFrame, routing: RuleSetLoader.Routing,
+      dims: Map[String, DataFrame]): DataFrame = {
+    val dangling = routing.routing.collect {
+      case (src, set) if !routing.ruleSets.contains(set) => s"$src -> $set"
+    }
+    require(dangling.isEmpty,
+      s"routing targets missing from ruleSets: ${dangling.mkString(", ")}")
+    val routedSets = routing.routing.values.toSet
+    val family = routing.ruleSets.view
+      .filterKeys(n => routedSets.contains(n) && n != routing.defaultRuleSet)
+      .toMap
+    val defaultSet = routing.ruleSets.get(routing.defaultRuleSet)
+
+    def homogeneous: Boolean = family.size >= 2 && {
+      val template = family.values.head.rules
+      family.values.forall { rs =>
+        rs.rules.size == template.size &&
+        rs.rules.zip(template).forall {
+          case (a: RangeRule, b: RangeRule) =>
+            a.id == b.id && a.column == b.column && a.severity == b.severity
+          case (a, b) => a == b
+        }
+      } && template.forall {
+        case _: NotNullRule | _: LengthConsistencyRule | _: FixedValueRule |
+             _: TokenBoundsRule | _: RangeRule => true
+        case _ => false
+      } && (defaultSet.forall(_.rules.forall {
+        case _: NotNullRule | _: LengthConsistencyRule | _: FixedValueRule |
+             _: TokenBoundsRule | _: RangeRule => true
+        case _ => false
+      }))
+    }
+    if (!homogeneous) return violationsRouted(df, routing, dims)
+
+    val spark = df.sparkSession
+    val template = family.values.head.rules
+    val (paramTpl0, sharedTpl) = template.partition {
+      case r: RangeRule =>
+        family.values.exists(_.rules.exists {
+          case o: RangeRule => o.id == r.id && (o.lo != r.lo || o.hi != r.hi)
+          case _ => false
+        })
+      case _ => false
+    }
+    // nothing varies → no parameter dimension to gate routed membership by;
+    // the gated path handles fully-identical families just as well
+    if (paramTpl0.isEmpty) return violationsRouted(df, routing, dims)
+    val paramTpl = paramTpl0
+
+    // parameter dimension: one row per ROUTED source carrying that source's
+    // bounds for every parameterized rule — config-sized (the analogue of
+    // validation_mapping.json itself), broadcast to the scan
+    val paramRows: Seq[org.apache.spark.sql.Row] =
+      routing.routing.toSeq.sortBy(_._1).map { case (src, setName) =>
+        val rs = routing.ruleSets(setName)
+        val bounds = paramTpl.flatMap { case t: RangeRule =>
+          val r = rs.rules.collectFirst {
+            case o: RangeRule if o.id == t.id => o
+          }.get
+          Seq(r.lo, r.hi)
+        }
+        org.apache.spark.sql.Row.fromSeq(src +: bounds)
+      }
+    val paramSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType) +:
+      paramTpl.flatMap { case t: RangeRule => Seq(
+        org.apache.spark.sql.types.StructField(s"_lo_${t.id}",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(s"_hi_${t.id}",
+          org.apache.spark.sql.types.LongType))
+      })
+    val paramDim = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(paramRows).asJava,
+      paramSchema)
+
+    val joined = df.join(broadcast(paramDim), Seq("source"), "left")
+
+    // shared rules apply to routed sources only → gate by dim membership
+    // (any param column non-null ⇔ source routed); default rules gate by
+    // NOT routed, null-safe (NULL source is by definition unrouted)
+    val routedGate: Option[Column] = paramTpl.headOption.map {
+      case t: RangeRule => col(s"_lo_${t.id}").isNotNull
+    }
+    val defaultGate: Option[Column] =
+      routedGate.map(g => coalesce(!g, lit(true)))
+    val paramRules: Seq[(Rule, Option[Column])] = paramTpl.map {
+      case t: RangeRule =>
+        (ColumnBoundsRule(t.id, t.column, s"_lo_${t.id}", s"_hi_${t.id}",
+          t.severity): Rule) -> None // null bounds self-gate
+    }
+    val sharedRules = sharedTpl.map(r => r -> routedGate)
+    val defaultRules = defaultSet.toSeq.flatMap(_.rules.map(_ -> defaultGate))
+    rowViolationsGated(joined, sharedRules ++ paramRules ++ defaultRules)
   }
 
   /** Explicit salted two-phase uniqueness (north-star: "salted repartition

@@ -51,6 +51,17 @@ final case class RangeRule(
     id: String, column: String, lo: Long, hi: Long,
     severity: String = "error", appliesTo: Option[String] = None) extends Rule
 
+/** Range check whose bounds come from COLUMNS (joined from a parameter
+  * dimension) instead of literals — the building block of parameterized
+  * rule-set routing ([[graft.engine.Validator.violationsRoutedWide]]): one
+  * codegen'd template evaluates for every routed source, with per-source
+  * bounds supplied by a broadcast join. NULL bounds (unrouted source) mean
+  * the rule does not apply to the row.
+  */
+final case class ColumnBoundsRule(
+    id: String, column: String, loColumn: String, hiColumn: String,
+    severity: String = "error", appliesTo: Option[String] = None) extends Rule
+
 /** Fixed-value check on a scalar column. */
 final case class FixedValueRule(
     id: String, column: String, expected: String,
@@ -73,7 +84,7 @@ final case class UniqueRule(
 final case class RuleSet(name: String, rules: Seq[Rule]) {
   def rowRules: Seq[Rule] = rules.filter {
     case _: NotNullRule | _: LengthConsistencyRule | _: TokenBoundsRule |
-         _: RangeRule | _: FixedValueRule => true
+         _: RangeRule | _: FixedValueRule | _: ColumnBoundsRule => true
     case _ => false
   }
   def referentialRules: Seq[ReferentialRule] =
@@ -123,14 +134,26 @@ object RuleCompiler {
         concat(lit(s"$len="), col(len).cast("string"),
           lit(" size="), size(col(arr)).cast("string")))
     case TokenBoundsRule(id, arr, lo, hi, sev, _) =>
+      // array_min/array_max, NOT `forall` — a higher-order function is
+      // CodegenFallback and would bar the whole single-scan rule pass from
+      // whole-stage codegen. min<lo ∨ max≥hi ⟺ ∃ element out of [lo,hi)
+      // (arrays carry no null elements in this schema; empty ⇒ null ⇒ no
+      // violation, matching forall-on-empty = true).
       CompiledRowRule(id, sev,
         gate(rule, col(arr).isNotNull &&
-          !forall(col(arr), t => t >= lit(lo) && t < lit(hi))),
+          (array_min(col(arr)) < lit(lo) || array_max(col(arr)) >= lit(hi))),
         lit(s"token out of [$lo,$hi)"))
     case RangeRule(id, c, lo, hi, sev, _) =>
       CompiledRowRule(id, sev,
         gate(rule, col(c).isNotNull && (col(c) < lit(lo) || col(c) >= lit(hi))),
         concat(lit(s"$c="), col(c).cast("string"), lit(s" out of [$lo,$hi)")))
+    case ColumnBoundsRule(id, c, loCol, hiCol, sev, _) =>
+      CompiledRowRule(id, sev,
+        gate(rule, col(c).isNotNull &&
+          (col(c) < col(loCol) || col(c) >= col(hiCol))),
+        concat(lit(s"$c="), col(c).cast("string"),
+          lit(" out of ["), col(loCol).cast("string"), lit(","),
+          col(hiCol).cast("string"), lit(")")))
     case FixedValueRule(id, c, expected, sev, _) =>
       CompiledRowRule(id, sev,
         gate(rule, col(c).isNotNull && col(c) =!= lit(expected)),
