@@ -614,6 +614,20 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** IVF with one LLOYD REFINEMENT iteration (VERDICT r2 #8): the stored
+    * centroids are the per-component means of the seed assignment — better
+    * balanced lists, same probe shapes. The oracle replicates the full
+    * iteration in closed form (seed centroids → argmax assignment →
+    * per-position means → re-assignment → top-2 probe → exact top-10).
+    */
+  def eAnnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val (idx, cent) = VectorIndex.ivf(spark, embs(spark, dir), vecTag(dir), 8,
+      kmeansIters = 1)
+    VectorIndex.ivfTopK(spark, idx, cent, queryVec(spark, dir), 10, nProbe = 2)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("vec_id")
+  }
+
   /** ANN over the MATERIALIZED banded-LSH index: equality probes of the
     * query's (band_id, band_key) buckets — `bands` partitions read, nothing
     * else. k=3 targets the injected near-copies of vec 0 (cos ≥ 0.995),
@@ -720,6 +734,7 @@ object Queries {
     "e_knn_brute" -> (eKnnBrute _),
     "e_ann_lsh_idx" -> (eAnnLshIdx _),
     "e_ann_ivf_idx" -> (eAnnIvfIdx _),
+    "e_ann_ivf_kmeans" -> (eAnnIvfKmeans _),
     "e_near_dup" -> (eNearDup _),
     "e_near_dup_recall" -> (eNearDupRecall _),
     "m_media_features" -> (mMediaFeatures _),
@@ -1313,6 +1328,46 @@ object Queries {
          |cent AS (SELECT vec_id AS centroid_id, e AS ce FROM emb
          |         ORDER BY vec_id LIMIT 8),
          |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT emb.vec_id, cent.centroid_id,
+         |           row_number() OVER (PARTITION BY emb.vec_id
+         |             ORDER BY ${duckCos("emb.e", "cent.ce")} DESC, cent.centroid_id) AS rn
+         |    FROM emb CROSS JOIN cent) WHERE rn = 1),
+         |probed AS (
+         |  SELECT centroid_id FROM cent
+         |  ORDER BY ${duckCos("ce", "(SELECT qe FROM q)")} DESC, centroid_id
+         |  LIMIT 2)
+         |SELECT vec_id, round(cos, 6) AS cos FROM (
+         |  SELECT emb.vec_id, ${duckCos("emb.e", "(SELECT qe FROM q)")} AS cos
+         |  FROM emb JOIN assign USING (vec_id) JOIN probed USING (centroid_id)
+         |  ORDER BY cos DESC, vec_id LIMIT 10)
+         |ORDER BY vec_id""".stripMargin,
+
+    // full closed-form replica of ONE Lloyd iteration: seed centroids →
+    // argmax assignment → per-position means (empty cluster keeps its seed)
+    // → re-assignment → top-2 probe → exact top-10 within probed lists
+    "e_ann_ivf_kmeans" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |             FROM embeddings),
+         |cent0 AS (SELECT vec_id AS centroid_id, e AS ce FROM emb
+         |          ORDER BY vec_id LIMIT 8),
+         |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+         |assign0 AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT emb.vec_id, cent0.centroid_id,
+         |           row_number() OVER (PARTITION BY emb.vec_id
+         |             ORDER BY ${duckCos("emb.e", "cent0.ce")} DESC, cent0.centroid_id) AS rn
+         |    FROM emb CROSS JOIN cent0) WHERE rn = 1),
+         |means AS (
+         |  SELECT centroid_id, u.j, avg(e[u.j]) AS m
+         |  FROM assign0 JOIN emb USING (vec_id),
+         |       unnest(range(1, len(e)+1)) AS u(j)
+         |  GROUP BY centroid_id, u.j),
+         |cent1 AS (SELECT centroid_id, list(m ORDER BY j) AS ce
+         |          FROM means GROUP BY centroid_id),
+         |cent AS (SELECT c0.centroid_id, coalesce(c1.ce, c0.ce) AS ce
+         |         FROM cent0 c0 LEFT JOIN cent1 c1 USING (centroid_id)),
          |assign AS (
          |  SELECT vec_id, centroid_id FROM (
          |    SELECT emb.vec_id, cent.centroid_id,

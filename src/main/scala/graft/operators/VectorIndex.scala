@@ -94,6 +94,27 @@ object VectorIndex {
       .limit(k)
   }
 
+  /** INCREMENTAL maintenance (VERDICT r2 #9): assign only the NEW vectors
+    * against the STORED centroids and append them to the existing
+    * centroid-partitioned layout — the shape a growing 100 TB corpus needs
+    * (a from-scratch rebuild re-shuffles the whole table for a 0.1%
+    * append). Because assignment depends only on the stored centroids,
+    * probe results after an append are IDENTICAL to a fresh rebuild that
+    * would have produced the same centroids (IndexSpec proves equality).
+    * Dynamic partition overwrite is NOT used — `Append` adds files to the
+    * touched centroid directories and never rewrites existing ones.
+    */
+  def ivfAppend(spark: SparkSession, indexDir: String, centroidsDir: String,
+      newVectors: DataFrame): Unit = {
+    val stored = spark.read.parquet(centroidsDir)
+    SimilarityOps.assignTo(
+        newVectors.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding")), stored)
+      .join(newVectors, Seq("vec_id"))
+      .repartition(col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id").parquet(indexDir)
+  }
+
   // ---- banded LSH -------------------------------------------------------
 
   /** Build (first call) and return the banded-LSH index path. */
@@ -110,6 +131,19 @@ object VectorIndex {
     }
     idx
   }
+
+  /** Incremental LSH append: band the NEW vectors (signatures are pure
+    * deterministic functions, no stored state needed) and append to the
+    * (band_id, band_key)-partitioned layout. Probe equality with a fresh
+    * rebuild is by construction; IndexSpec proves it.
+    */
+  def lshAppend(spark: SparkSession, indexDir: String,
+      newVectors: DataFrame, bands: Int, rowsPerBand: Int): Unit =
+    DedupOps.embeddingBands(newVectors, bands, rowsPerBand)
+      .join(newVectors, Seq("vec_id"))
+      .repartition(col("band_id"), col("band_key"))
+      .write.mode("append")
+      .partitionBy("band_id", "band_key").parquet(indexDir)
 
   /** The query's per-band bucket keys, computed from the same deterministic
     * signature expression the index was built with (one 1-row Spark job).
