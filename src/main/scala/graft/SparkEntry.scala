@@ -465,6 +465,17 @@ object Queries {
       .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted")
 
+  /** N-gram-profile language ID (the model-shaped replacement for the
+    * marker heuristic — explode trigrams → broadcast profile join → argmax;
+    * OperatorsSpec proves discrimination on genuinely multilingual text;
+    * this fixture's text is language-less synthetic vocabulary, so the
+    * query pins the scoring pipeline, not classifier accuracy).
+    */
+  def dLangidNgram(spark: SparkSession, dir: String): DataFrame =
+    TextOps.langIdNgram(docs(spark, dir))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
   /** BPE-ish regex pre-tokenizer counts (letter/digit/punctuation runs). */
   def dBpeishTokcount(spark: SparkSession, dir: String): DataFrame =
     TextOps.bpeishTokenCounts(docs(spark, dir)).orderBy("doc_id")
@@ -722,6 +733,7 @@ object Queries {
     "d_tokcount" -> (dTokcount _),
     "d_quality" -> (dQuality _),
     "d_langid_accuracy" -> (dLangidAccuracy _),
+    "d_langid_ngram" -> (dLangidNgram _),
     "d_bpeish_tokcount" -> (dBpeishTokcount _),
     "d_winnow_dups" -> (dWinnowDups _),
     "d_fingerprint_dups" -> (dFingerprintDups _),
@@ -1246,6 +1258,37 @@ object Queries {
         |  FROM (SELECT lang, ' ' || text || ' ' AS t FROM documents))
         |SELECT lang, predicted, count(*) AS n FROM p
         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    // full replica of the trigram-profile scorer, profile VALUES generated
+    // from the SAME TextOps.LangProfiles constant the engine scores with
+    "d_langid_ngram" -> {
+      val vals = graft.operators.TextOps.LangProfiles.map {
+        case (t, l, w) => s"('${t.replace("'", "''")}', '$l', $w)"
+      }.mkString(", ")
+      s"""WITH prof(tri, plang, w) AS (VALUES $vals),
+         |tris AS (
+         |  SELECT doc_id, unnest(CASE WHEN length(lower(text)) >= 3
+         |    THEN list_transform(range(1, length(lower(text)) - 1),
+         |           i -> substring(lower(text), i, 3))
+         |    ELSE [lower(text)] END) AS tri
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, plang, sum(w) AS score
+         |  FROM tris JOIN prof USING (tri) GROUP BY doc_id, plang),
+         |best AS (
+         |  SELECT doc_id, plang AS best FROM (
+         |    SELECT doc_id, plang,
+         |           row_number() OVER (PARTITION BY doc_id
+         |             ORDER BY score DESC, plang) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |pred AS (
+         |  SELECT d.lang,
+         |         CASE WHEN regexp_matches(d.text, '[\\x{4e00}-\\x{9fff}]')
+         |              THEN 'zh' ELSE coalesce(b.best, 'unknown') END AS predicted
+         |  FROM documents d LEFT JOIN best b USING (doc_id))
+         |SELECT lang, predicted, count(*) AS n FROM pred
+         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+    },
 
     "d_bpeish_tokcount" ->
       """SELECT doc_id,

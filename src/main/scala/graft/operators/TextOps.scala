@@ -71,6 +71,68 @@ object TextOps {
         .otherwise("unknown").as("predicted"))
   }
 
+  /** Character-trigram profiles for the n-gram language-ID model
+    * ([[langIdNgram]]): the highest-frequency function-word trigrams of
+    * each language (public letter-frequency knowledge — 'the'/'ing' for
+    * English, 'der'/'sch' for German, etc.), rank-weighted. One flat
+    * (trigram, lang, weight) table, broadcast at scoring time. Extend by
+    * appending rows — the scorer is profile-driven, not hardcoded.
+    */
+  val LangProfiles: Seq[(String, String, Int)] = {
+    def ranked(lang: String, tris: Seq[String]): Seq[(String, String, Int)] =
+      tris.zipWithIndex.map { case (t, i) => (t, lang, tris.size - i) }
+    ranked("en", Seq("the", "he ", " th", "ing", "and", " an", "nd ",
+      " of", "of ", "ion", " to", "to ", "ed ", " in", "is ")) ++
+    ranked("de", Seq("der", "er ", " de", "die", "ie ", "und", " un",
+      "ein", " ei", "ich", "ch ", "sch", "ung", " ge", "cht")) ++
+    ranked("fr", Seq("es ", "le ", " le", "ent", "nt ", "la ", " la",
+      "et ", " et", "que", " qu", "ue ", "des", " pa", "ait")) ++
+    ranked("es", Seq("os ", "la ", " la", "el ", " el", "as ", "ión",
+      "ado", " co", "ció", "nte", " se", "una", " un", "par"))
+  }
+
+  /** Trigram sliding window over lowercased text as an array column. */
+  def charTrigrams(text: Column): Column = {
+    val t = lower(text)
+    when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+      .otherwise(array(t))
+  }
+
+  /** N-gram-profile language ID (replaces the 9-marker heuristic of
+    * [[langId]] with the standard character-n-gram profile method,
+    * cf. Cavnar/Trenkle '94 via PAPERS.md): score each document against
+    * every language profile by summing matched-trigram weights — explode →
+    * broadcast join → two hash aggregates, all codegen'd, no UDF — and
+    * predict the argmax (ties → lexicographically first language; no
+    * profile hits → 'unknown'). Han-script documents short-circuit to 'zh'
+    * by Unicode-range test (trigram profiles are a Latin-script method).
+    *
+    * Scale: the explode multiplies rows by ~n_chars, but the join is
+    * broadcast and both aggregates combine map-side, so the pass stays
+    * shuffle-light; the profile table is config-sized.
+    */
+  def langIdNgram(docs: DataFrame,
+      profiles: Seq[(String, String, Int)] = LangProfiles): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prof = profiles.toDF("tri", "plang", "w")
+    val tris = docs.select(col("doc_id"),
+      explode(charTrigrams(col("text"))).as("tri"))
+    val scored = tris.join(broadcast(prof), Seq("tri"))
+      .groupBy(col("doc_id"), col("plang"))
+      .agg(sum(col("w")).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(min_by(col("plang"), struct(negate(col("score")), col("plang")))
+        .as("best"))
+    docs.select(col("doc_id"), col("lang"),
+        col("text").rlike("[\\x{4e00}-\\x{9fff}]").as("has_cjk"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("has_cjk"), lit("zh"))
+          .otherwise(coalesce(col("best"), lit("unknown"))).as("predicted"))
+  }
+
   /** BPE-ish regex tokenization: letter runs | digit runs | punctuation
     * runs — the shape of a GPT-2-style pre-tokenizer pattern, restricted to
     * constructs Java regex and RE2 (DuckDB) match identically.

@@ -321,4 +321,37 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(0).toSeq === raw.slice(0, 8).toSeq)
     assert(frames(1).toSeq === raw.slice(8, 16).toSeq)
   }
+
+  test("n-gram-profile language ID discriminates real multilingual text") {
+    import spark.implicits._
+    val multi = Seq(
+      (1L, "the cat is sitting in the garden and the dog is running to the house", "en"),
+      (2L, "der hund und die katze sind in dem garten und ich gehe in die schule", "de"),
+      (3L, "le chien et le chat sont dans le jardin et la maison est grande", "fr"),
+      (4L, "el perro y el gato por la casa y una cosa de los parques", "es"),
+      (5L, "猫和狗在花园里", "zh"), // Han script → zh
+      (6L, "zzz qqq xxx", "xx") // no profile hits → unknown
+    ).toDF("doc_id", "text", "lang")
+    val got = TextOps.langIdNgram(multi)
+      .select("doc_id", "predicted").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es",
+      5L -> "zh", 6L -> "unknown"))
+  }
+
+  test("dimension loader: JSON value sets drive referential checks; malformed fails") {
+    import spark.implicits._
+    val dims = graft.sources.DimensionLoader.parse(spark,
+      """{"valueSets": {"colors": ["red", "blue"], "codes": [1, 2, 3]}}""")
+    assert(dims.keySet === Set("colors", "codes"))
+    val df = Seq(("d1", Array(1), 1, "red"), ("d2", Array(2), 1, "green"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val v = graft.engine.Validator.referentialViolations(
+      df, graft.rules.ReferentialRule("ref_color", "source", "colors"),
+      dims("colors"))
+    assert(v.select("doc_id").as[String].collect().toSeq === Seq("d2"))
+    intercept[IllegalArgumentException] {
+      graft.sources.DimensionLoader.parse(spark,
+        """{"valueSets": {"oops": "not-an-array"}}""")
+    }
+  }
 }
