@@ -32,14 +32,22 @@ object Bench {
     // input table itself is never cached.
     val detailed = Validator.violations(tok, ruleSet, dims)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // stats feed BOTH the stats output and the summary's per-source row
+    // counts (summaryFromCounts) — one table scan instead of two; the
+    // cached frame is O(|sources|) rows
+    val stats = StatsOps.columnStats(tok)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       Validator.dedupIssues(detailed).collect()
-      Validator.summary(tok, detailed).collect()
-      StatsOps.columnStats(tok).collect()
+      stats.collect()
+      Validator.summaryFromCounts(stats, detailed).collect()
       Drift.sketchQuantileDrift(tok, baseline, "n_tok", 200, Seq(0.5, 0.95), 2.0)
         .collect()
       tok.count()
-    } finally detailed.unpersist(blocking = false)
+    } finally {
+      detailed.unpersist(blocking = false)
+      stats.unpersist(blocking = false)
+    }
   }
 
   def timed[A](f: => A): (A, Double) = {
@@ -104,10 +112,12 @@ object Scaling {
     val hi = sys.env.getOrElse("SPARK_GRAFT_4N", "8").toInt
     // at sf0.1 (600k rows) the pass is overhead-bound and shows no scaling;
     // replicate the table so compute dominates and parallelism is measurable.
-    // ×32 (19.2M rows) is the representative default: at ×16 the whole table
-    // fits the OS page cache after warm-ups and the 2-core baseline swings
-    // ±30% with cache warmth (measured 0.75-0.81 at ×16 vs 0.955 at ×32)
-    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "32").toInt
+    // ×64 (38.4M rows) is the representative default since round 3: at ×16
+    // the table fits the OS page cache after warm-ups (2-core baseline
+    // swings ±30% with warmth; 0.75-0.81 readings) and even ×32 readings
+    // moved ±0.02 round over round; ×64 is compute-dominated and stable
+    // (round-3: 0.823 at ×64 vs 0.801 at ×32 on the same build)
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "64").toInt
 
     def measure(cpus: Int): (Long, Double) = {
       val spark = Sessions.local(cpus, s"graft-scaling-$cpus")

@@ -548,10 +548,20 @@ object Validator {
     detailed.groupBy("source", "rule_id").agg(count(lit(1)).as("violations"))
 
   /** Per-source pass/fail summary (SURVEY.md §1.3 "report dict"). */
-  def summary(df: DataFrame, detailed: DataFrame): DataFrame = {
-    val rows = df.groupBy("source").agg(count(lit(1)).as("n_rows"))
+  def summary(df: DataFrame, detailed: DataFrame): DataFrame =
+    summaryFromCounts(
+      df.groupBy("source").agg(count(lit(1)).as("n_rows")), detailed)
+
+  /** Summary from PRE-COMPUTED per-source row counts — when the pipeline
+    * already aggregated the table (column stats, a metrics table, Iceberg
+    * manifest counts), re-scanning 100 TB just to count rows again is a
+    * wasted full pass; feed those counts here instead. `rowCounts`:
+    * (source, n_rows).
+    */
+  def summaryFromCounts(rowCounts: DataFrame, detailed: DataFrame): DataFrame = {
     val viol = detailed.groupBy("source").agg(count(lit(1)).as("nv"))
-    rows.join(viol, Seq("source"), "left")
+    rowCounts.select(col("source"), col("n_rows"))
+      .join(viol, Seq("source"), "left")
       .select(col("source"), col("n_rows"),
         coalesce(col("nv"), lit(0L)).as("n_violations"),
         (coalesce(col("nv"), lit(0L)) === 0).as("pass"))

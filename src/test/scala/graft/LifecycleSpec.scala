@@ -143,4 +143,43 @@ class LifecycleSpec extends SparkSpec {
     val nTotal = groups.agg(sum("n")).first().getLong(0)
     assert(nTotal === v.count())
   }
+
+  test("Validate entry point: routed run, resume skip, persisted report") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_validate").toString
+    val rulesJson =
+      """{ "ruleSets": {
+        |    "default": [
+        |      {"type":"notNull","id":"nn","column":"tokens","severity":"fatal"},
+        |      {"type":"lengthConsistency","id":"lc","arrayColumn":"tokens","lengthColumn":"n_tok"},
+        |      {"type":"referential","id":"rf","column":"source","dimension":"allowed"}
+        |    ]},
+        |  "routing": {}, "defaultRuleSet": "default" }""".stripMargin
+    val dimsJson = """{"valueSets": {"allowed": ["A", "N", "R"]}}"""
+    val tok = TokenTable.tokens(spark, sf0001)
+
+    val first = graft.tools.Validate.run(spark, tok, rulesJson,
+      Some(dimsJson), s"$tmp/manifest", snapshotId = 7L,
+      reportDir = Some(s"$tmp/reports"))
+    assert(first.validated.nonEmpty && first.skipped.isEmpty)
+    assert(first.reportPath.exists(_.contains("report_snap=7")))
+    val firstRows = first.summary.orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // re-submission at the same snapshot: everything skips, summary
+    // reconstructs from the manifest identically
+    val second = graft.tools.Validate.run(spark, tok, rulesJson,
+      Some(dimsJson), s"$tmp/manifest", snapshotId = 7L, reportDir = None)
+    assert(second.validated.isEmpty)
+    assert(second.skipped.toSet === first.validated.toSet)
+    val secondRows = second.summary.orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(secondRows === firstRows)
+
+    // the persisted artifact reloads as the latest report
+    val rep = graft.report.ReportOps.latestReport(spark, s"$tmp/reports")
+    assert(rep.count() > 0)
+    assert(rep.columns.toSeq === Seq("category", "severity_rank", "color",
+      "severity", "rule_id", "detail_generic", "cnt"))
+  }
 }
