@@ -685,6 +685,25 @@ object Queries {
         (col("nf") >= col("n_exact_pairs") * 0.95).as("recall_ok"))
   }
 
+  /** Quality ratio family (length/punct/stopword — the training-pipeline
+    * quality-signal set beyond TTR).
+    */
+  def dQualityRatios(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qualityRatios(docs(spark, dir))
+      .select(col("doc_id"), col("n_chars"),
+        round(col("punct_ratio"), 6).as("punct_ratio"),
+        round(col("space_ratio"), 6).as("space_ratio"),
+        round(col("stopword_ratio"), 6).as("stopword_ratio"))
+      .orderBy("doc_id")
+
+  /** Resize plumbing over the stub image grid: deterministic
+    * nearest-neighbor sampled-byte checksum per document.
+    */
+  def mMediaResize(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.resizeStub(spark,
+        MultimodalOps.asMediaTable(docs(spark, dir)), tw = 8, th = 8)
+      .toDF().orderBy("doc_id")
+
   def mMediaFeatures(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.decodeFeatures(spark,
         MultimodalOps.asMediaTable(docs(spark, dir)))
@@ -750,6 +769,8 @@ object Queries {
     "e_near_dup" -> (eNearDup _),
     "e_near_dup_recall" -> (eNearDupRecall _),
     "m_media_features" -> (mMediaFeatures _),
+    "m_media_resize" -> (mMediaResize _),
+    "d_quality_ratios" -> (dQualityRatios _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -1513,6 +1534,36 @@ object Queries {
          |       TRUE AS sketch_within_bound
          |FROM cur JOIN base USING (source)
          |ORDER BY source""".stripMargin,
+
+    "d_quality_ratios" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |  round(CASE WHEN length(text) > 0
+        |    THEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |         / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+        |  round(CASE WHEN length(text) > 0
+        |    THEN CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |         / length(text) ELSE 0.0 END, 6) AS space_ratio,
+        |  round(CASE WHEN len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+        |    THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|for|on)\b')) AS DOUBLE)
+        |         / len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |    ELSE 0.0 END, 6) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // exact replica of the nearest-neighbor stub-resize byte sampling: the
+    // fixture payload is the ascii text, so code points == byte values
+    "m_media_resize" ->
+      """WITH g AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |         16 + length(text) % 64 AS w,
+        |         16 + (length(text) // 64) % 64 AS h
+        |  FROM documents)
+        |SELECT doc_id, 8 AS out_w, 8 AS out_h,
+        |  CAST(list_sum(list_transform(range(64), k ->
+        |    CASE WHEN ((k // 8) * h // 8) * w + ((k % 8) * w // 8) < n
+        |         THEN ascii(substring(text,
+        |                CAST(((k // 8) * h // 8) * w + ((k % 8) * w // 8) AS INT) + 1, 1))
+        |         ELSE 0 END)) AS BIGINT) AS pix_sum
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "m_media_features" ->
       """SELECT doc_id,

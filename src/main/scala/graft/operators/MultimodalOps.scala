@@ -73,6 +73,44 @@ object MultimodalOps {
       }
   }
 
+  /** One resized "image" summary. */
+  final case class ResizedMedia(
+      doc_id: Long, out_w: Int, out_h: Int, pix_sum: Long)
+
+  /** Resize plumbing: nearest-neighbor downsample of the stub image grid
+    * ([[stubDecode]]'s n-derived width×height) to `tw`×`th`, summarized as
+    * the sum of sampled byte values. Same partition-batched mapPartitions
+    * shape as [[decodeFeatures]] — a real resampler (and a real per-pixel
+    * output instead of the checksum) drops in without touching the Spark
+    * side. Deterministic byte arithmetic, so the DuckDB oracle replicates
+    * the exact sampled indices (m_media_resize).
+    */
+  def resizeStub(spark: SparkSession, media: DataFrame,
+      tw: Int, th: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val bytes = if (payload == null) Array.empty[Byte] else payload
+          val n = bytes.length
+          val w = 16 + (n % 64)
+          val h = 16 + ((n / 64) % 64)
+          var sum = 0L
+          var ty = 0
+          while (ty < th) {
+            var tx = 0
+            while (tx < tw) {
+              val idx = (ty * h / th) * w + (tx * w / tw)
+              if (idx < n) sum += (bytes(idx) & 0xFF)
+              tx += 1
+            }
+            ty += 1
+          }
+          ResizedMedia(id, tw, th, sum)
+        }
+      }
+  }
+
   /** Frame-sampling plumbing for video-like payloads: slice the payload
     * into fixed-size "frames" and emit every `stride`-th, each with its
     * index — the explode shape a real frame sampler produces. BYTE-SAFE:

@@ -71,6 +71,30 @@ object TextOps {
         .otherwise("unknown").as("predicted"))
   }
 
+  /** Quality RATIO metrics (the length/punct/stopword family): punctuation
+    * share of characters, whitespace share, and stopword share of words —
+    * all via codegen'd regexp counting (no higher-order lambdas: a single
+    * CodegenFallback expression would drop the whole projection out of
+    * whole-stage codegen).
+    */
+  val StopwordPattern = "\\b(the|a|an|and|of|to|in|is|for|on)\\b"
+
+  def qualityRatios(docs: DataFrame): DataFrame = {
+    val chars = length(col("text"))
+    val punct = chars -
+      length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))
+    val spaces = chars - length(regexp_replace(col("text"), "\\s", ""))
+    val nWords = size(words(col("text")))
+    val stops = regexp_count(lower(col("text")), lit(StopwordPattern))
+    docs.select(col("doc_id"), chars.as("n_chars"),
+      when(chars > 0, punct.cast("double") / chars.cast("double"))
+        .otherwise(0.0).as("punct_ratio"),
+      when(chars > 0, spaces.cast("double") / chars.cast("double"))
+        .otherwise(0.0).as("space_ratio"),
+      when(nWords > 0, stops.cast("double") / nWords.cast("double"))
+        .otherwise(0.0).as("stopword_ratio"))
+  }
+
   /** Character-trigram profiles for the n-gram language-ID model
     * ([[langIdNgram]]): the highest-frequency function-word trigrams of
     * each language (public letter-frequency knowledge — 'the'/'ing' for
