@@ -270,14 +270,20 @@ object Validator {
     *    the routing config;
     *  - the default rule set's rules → gated by NOT-routed (null-safe).
     *
-    * One scan + one broadcast hash join; per-row cost O(#templates),
-    * INDEPENDENT of rule-set count — 827 or 80,000 profiles cost the same
-    * per row, and the generated code stays constant-size (WideRoutingSpec
-    * asserts whole-stage codegen with JIT-sized methods at 400 sets).
+    * One scan + one broadcast hash join for ALL row rules; per-row cost
+    * O(#templates), INDEPENDENT of rule-set count — 827 or 80,000 profiles
+    * cost the same per row, and the generated code stays constant-size
+    * (WideRoutingSpec asserts whole-stage codegen with JIT-sized methods at
+    * 400 sets). Dataset-level rules identical across the family collapse
+    * the same way: per-slice uniqueness becomes ONE aggregate on the
+    * compound key (set, column) — a single shuffle at any set count, where
+    * the gated path would run one aggregate per slice — and per-slice
+    * referential checks become ONE anti-join over the routed rows (they are
+    * row-local, so the union of slice anti-joins equals the joined whole).
     *
     * Falls back to [[violationsRouted]] (gated, chunk-staged) when the
-    * family is NOT homogeneous — heterogeneous sets cannot parameterize.
-    * Row-rule sets only (referential/unique rules → use violationsRouted).
+    * family is NOT homogeneous — heterogeneous sets cannot parameterize
+    * (a dataset-level rule that VARIES across sets fails homogeneity too).
     */
   def violationsRoutedWide(
       df: DataFrame, routing: RuleSetLoader.Routing,
@@ -293,6 +299,12 @@ object Validator {
       .toMap
     val defaultSet = routing.ruleSets.get(routing.defaultRuleSet)
 
+    // Homogeneous = every routed set instantiates ONE template: rules are
+    // pairwise EQUAL across sets except RangeRules, which may differ in
+    // bounds only. Identical dataset-level rules (unique / referential) ARE
+    // allowed — they compile to single compound-key jobs below; a
+    // dataset-level rule that VARIES across sets fails the zip equality and
+    // falls back to the gated path.
     def homogeneous: Boolean = family.size >= 2 && {
       val template = family.values.head.rules
       family.values.forall { rs =>
@@ -302,56 +314,44 @@ object Validator {
             a.id == b.id && a.column == b.column && a.severity == b.severity
           case (a, b) => a == b
         }
-      } && template.forall {
-        case _: NotNullRule | _: LengthConsistencyRule | _: FixedValueRule |
-             _: TokenBoundsRule | _: RangeRule => true
-        case _ => false
-      } && (defaultSet.forall(_.rules.forall {
-        case _: NotNullRule | _: LengthConsistencyRule | _: FixedValueRule |
-             _: TokenBoundsRule | _: RangeRule => true
-        case _ => false
-      }))
+      }
     }
     if (!homogeneous) return violationsRouted(df, routing, dims)
 
     val spark = df.sparkSession
     val template = family.values.head.rules
-    val (paramTpl0, sharedTpl) = template.partition {
-      case r: RangeRule =>
-        family.values.exists(_.rules.exists {
-          case o: RangeRule => o.id == r.id && (o.lo != r.lo || o.hi != r.hi)
-          case _ => false
-        })
-      case _ => false
+    val paramTpl = template.collect {
+      case r: RangeRule if family.values.exists(_.rules.exists {
+        case o: RangeRule => o.id == r.id && (o.lo != r.lo || o.hi != r.hi)
+        case _ => false
+      }) => r
     }
-    // nothing varies → no parameter dimension to gate routed membership by;
-    // the gated path handles fully-identical families just as well
-    if (paramTpl0.isEmpty) return violationsRouted(df, routing, dims)
-    val paramTpl = paramTpl0
+    val paramIds = paramTpl.map(_.id).toSet
+    val sharedTplSet = RuleSet("_shared",
+      template.filterNot(r => paramIds.contains(r.id)))
 
-    // parameter dimension: one row per ROUTED source carrying that source's
+    // parameter dimension: one row per ROUTED source carrying its set name
+    // (the slice key for compound-key dataset rules) plus that source's
     // bounds for every parameterized rule — config-sized (the analogue of
     // validation_mapping.json itself), broadcast to the scan
     val paramRows: Seq[org.apache.spark.sql.Row] =
       routing.routing.toSeq.sortBy(_._1).map { case (src, setName) =>
         val rs = routing.ruleSets(setName)
-        val bounds = paramTpl.flatMap { case t: RangeRule =>
+        val bounds = paramTpl.flatMap { t =>
           val r = rs.rules.collectFirst {
             case o: RangeRule if o.id == t.id => o
           }.get
           Seq(r.lo, r.hi)
         }
-        org.apache.spark.sql.Row.fromSeq(src +: bounds)
+        org.apache.spark.sql.Row.fromSeq(src +: setName +: bounds)
       }
-    val paramSchema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("source",
-        org.apache.spark.sql.types.StringType) +:
-      paramTpl.flatMap { case t: RangeRule => Seq(
-        org.apache.spark.sql.types.StructField(s"_lo_${t.id}",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField(s"_hi_${t.id}",
-          org.apache.spark.sql.types.LongType))
-      })
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val paramSchema = StructType(
+      StructField("source", StringType) ::
+      StructField("_set", StringType) ::
+      paramTpl.flatMap(t => Seq(
+        StructField(s"_lo_${t.id}", LongType),
+        StructField(s"_hi_${t.id}", LongType))).toList)
     val paramDim = spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(paramRows).asJava,
       paramSchema)
@@ -359,21 +359,48 @@ object Validator {
     val joined = df.join(broadcast(paramDim), Seq("source"), "left")
 
     // shared rules apply to routed sources only → gate by dim membership
-    // (any param column non-null ⇔ source routed); default rules gate by
-    // NOT routed, null-safe (NULL source is by definition unrouted)
-    val routedGate: Option[Column] = paramTpl.headOption.map {
-      case t: RangeRule => col(s"_lo_${t.id}").isNotNull
+    // (_set non-null ⇔ source routed); default rules gate by NOT routed —
+    // null-safe by construction (a NULL source joins nothing → _set null →
+    // the row lands in the default set, whose notNull rules should see it)
+    val routedGate = col("_set").isNotNull
+    val paramRules: Seq[(Rule, Option[Column])] = paramTpl.map { t =>
+      (ColumnBoundsRule(t.id, t.column, s"_lo_${t.id}", s"_hi_${t.id}",
+        t.severity): Rule) -> None // null bounds self-gate
     }
-    val defaultGate: Option[Column] =
-      routedGate.map(g => coalesce(!g, lit(true)))
-    val paramRules: Seq[(Rule, Option[Column])] = paramTpl.map {
-      case t: RangeRule =>
-        (ColumnBoundsRule(t.id, t.column, s"_lo_${t.id}", s"_hi_${t.id}",
-          t.severity): Rule) -> None // null bounds self-gate
+    val sharedRules =
+      sharedTplSet.rowRules.map(r => r -> (Some(routedGate): Option[Column]))
+    val defaultRows = defaultSet.toSeq.flatMap(_.rowRules.map(
+      r => r -> (Some(!routedGate): Option[Column])))
+    val rowPart =
+      rowViolationsGated(joined, sharedRules ++ paramRules ++ defaultRows)
+
+    // dataset rules, identical across the family, collapse to ONE job each
+    // instead of one per slice: uniqueness is per-slice BY DEFINITION, so
+    // it aggregates on the compound key (_set, column) — a single shuffle
+    // whatever the set count; referential rules are row-local, so the union
+    // of per-slice anti-joins IS the anti-join over all routed rows.
+    val routedRows = joined.where(routedGate)
+    val uniqParts = sharedTplSet.uniqueRules.map { u =>
+      routedRows
+        .groupBy(col("_set"), col(u.column))
+        .agg(count(lit(1)).as("cnt"), min(col("source")).as("source"))
+        .where(col("cnt") > 1)
+        .select(col(u.column).cast("string").as("doc_id"),
+          lit(u.id).as("rule_id"),
+          concat(lit(s"${u.column} occurs "), col("cnt").cast("string"),
+            lit(" times")).as("detail"),
+          lit(u.severity).as("severity"), col("source"))
     }
-    val sharedRules = sharedTpl.map(r => r -> routedGate)
-    val defaultRules = defaultSet.toSeq.flatMap(_.rules.map(_ -> defaultGate))
-    rowViolationsGated(joined, sharedRules ++ paramRules ++ defaultRules)
+    val refParts = sharedTplSet.referentialRules.map { r =>
+      referentialViolations(routedRows, r, dims(r.dimension))
+    }
+    val defaultSlice = joined.where(!routedGate)
+    val defaultUniq = defaultSet.toSeq.flatMap(_.uniqueRules.map(
+      uniqueViolations(defaultSlice, _)))
+    val defaultRefs = defaultSet.toSeq.flatMap(_.referentialRules.map(r =>
+      referentialViolations(defaultSlice, r, dims(r.dimension))))
+    (Seq(rowPart) ++ uniqParts ++ refParts ++ defaultUniq ++ defaultRefs)
+      .reduce(_ unionByName _)
   }
 
   /** Explicit salted two-phase uniqueness (north-star: "salted repartition

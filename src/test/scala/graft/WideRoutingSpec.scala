@@ -75,6 +75,51 @@ class WideRoutingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("wide compiler collapses identical dataset rules: equals gated path") {
+    // 40 homogeneous sets whose template carries a UNIQUE and a REFERENTIAL
+    // rule (identical across sets) plus a varying range: the compiler must
+    // produce ONE compound-key aggregate + ONE anti-join, and the result
+    // must equal the gated per-slice evaluation exactly
+    val nSets = 40
+    val sets = (0 until nSets).map { b =>
+      s""""p$b": [
+         |  {"type":"notNull","id":"nn","column":"tokens","severity":"fatal"},
+         |  {"type":"range","id":"rng","column":"n_tok","lo":1,"hi":${10 + b % 23}},
+         |  {"type":"unique","id":"uq","column":"doc_id","severity":"warning"},
+         |  {"type":"referential","id":"rf","column":"source","dimension":"allowed_sources"}
+         |]""".stripMargin
+    }.mkString(",\n")
+    val routes = (for {
+      base <- Seq("A", "N", "R", "bogus"); b <- 0 until nSets
+    } yield s""""${base}_$b": "p$b"""").mkString(",\n")
+    val json =
+      s"""{ "ruleSets": { $sets,
+         |    "fallback": [ {"type":"notNull","id":"nn_src","column":"source","severity":"fatal"} ]
+         |  }, "routing": { $routes }, "defaultRuleSet": "fallback" }""".stripMargin
+    val routing = graft.rules.RuleSetLoader.parse(json)
+    val t = Queries.tokWide(spark, sf0001, nSets)
+    val dims = Map("allowed_sources" ->
+      graft.sources.TokenTable.allowedDim(spark))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "rule_id", "detail", "severity", "source")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getString(4))).toSet
+    val wide = rows(graft.engine.Validator.violationsRoutedWide(t, routing, dims))
+    val gated = rows(graft.engine.Validator.violationsRouted(t, routing, dims))
+    assert(wide === gated)
+    assert(wide.exists(_._2 == "uq"), "no unique violations exercised")
+    assert(wide.exists(_._2 == "rf"), "no referential violations exercised")
+    // the wide plan must hold ONE aggregate-shuffle for uniqueness, not 40:
+    // count Exchange nodes attributable to the unique aggregate via the
+    // compound-key grouping (plan-level sanity: gated has 40 slices)
+    val widePlan = graft.engine.Validator
+      .violationsRoutedWide(t, routing, dims).queryExecution.optimizedPlan
+    val wideAggs = widePlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(wideAggs.size == 1, s"expected 1 aggregate, got ${wideAggs.size}")
+  }
+
   test("single-projection gated path compiles at the chunk threshold (192 rules)") {
     // 64 sets × 3 rules = 192 = GatedRuleChunkThreshold → the UNCHUNKED
     // single-projection form, whose code InferFiltersFromGenerate inlines
