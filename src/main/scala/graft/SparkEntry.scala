@@ -68,6 +68,14 @@ object Queries {
     StatsOps.lengthQuantiles(tok(spark, dir), Seq(0.25, 0.5, 0.75, 0.95))
       .orderBy("source")
 
+  /** Per-source top-5 token ids by frequency — vocabulary-level stats over
+    * the tokens payload itself (oracle regenerates every token in closed
+    * form).
+    */
+  def vTokenTopk(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.topTokens(tok(spark, dir), 5)
+      .orderBy("source", "rank")
+
   /** Baseline snapshot for drift: the deterministic half of the table with
     * even l_orderkey (a stand-in for "previous Iceberg snapshot").
     */
@@ -494,6 +502,18 @@ object Queries {
         minShared = 5, gramHash = DedupOps.md5WordHash60)
       .orderBy("doc_a", "doc_b")
 
+  /** Decontamination: corpus docs sharing ≥3 distinct 3-shingles with the
+    * bounded eval slice (doc_id < 25). Broadcast eval index; corpus side
+    * is one scan. Oracle recomputes every overlap exactly.
+    */
+  def dDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    DedupOps.contaminationCheck(
+        d.where(col("doc_id") >= 25), d.where(col("doc_id") < 25),
+        w = 3, minShared = 3)
+      .orderBy("doc_id")
+  }
+
   def dFingerprintDups(spark: SparkSession, dir: String): DataFrame =
     DedupOps.exactDuplicates(docs(spark, dir)).orderBy("doc_id")
 
@@ -723,6 +743,7 @@ object Queries {
     "v_stats" -> (vStats _),
     "v_histogram" -> (vHistogram _),
     "v_quantiles" -> (vQuantiles _),
+    "v_token_topk" -> (vTokenTopk _),
     "v_resume_pending" -> (vResumePending _),
     "v_drift_exact" -> (vDriftExact _),
     "v_drift_sketch" -> (vDriftSketch _),
@@ -756,6 +777,7 @@ object Queries {
     "d_bpeish_tokcount" -> (dBpeishTokcount _),
     "d_winnow_dups" -> (dWinnowDups _),
     "d_fingerprint_dups" -> (dFingerprintDups _),
+    "d_decontaminate" -> (dDecontaminate _),
     "d_minhash_dups" -> (dMinhashDups _),
     "d_minhash_recall" -> (dMinhashRecall _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
@@ -988,6 +1010,37 @@ object Queries {
          |       quantile_cont(n_tok, 0.75) AS q2,
          |       quantile_cont(n_tok, 0.95) AS q3
          |FROM tok GROUP BY source ORDER BY source""".stripMargin,
+
+    // exact token regeneration (same closed form as v_token_hist_drift),
+    // count per (source, token), top-5 by (cnt desc, token asc)
+    "v_token_topk" ->
+      s"""WITH $cte,
+         |ex AS (
+         |  SELECT source,
+         |         CASE WHEN j = 0 AND key % 109 = 0 THEN 50000 + key % 7
+         |              ELSE (key*31 + j*17) % 50000 END AS token
+         |  FROM (SELECT *, unnest(generate_series(0, CAST(n_true AS BIGINT) - 1)) AS j
+         |        FROM tok WHERE NOT tokens_null)),
+         |c AS (SELECT source, CAST(token AS INT) AS token, count(*) AS cnt
+         |      FROM ex GROUP BY 1, 2)
+         |SELECT source, token, cnt,
+         |       CAST(rank AS INT) AS rank
+         |FROM (SELECT source, token, cnt,
+         |             row_number() OVER (PARTITION BY source
+         |               ORDER BY cnt DESC, token) AS rank
+         |      FROM c)
+         |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    "d_decontaminate" ->
+      s"""WITH $shingleCte,
+         |pairs AS (
+         |  SELECT c.doc_id, e.doc_id AS eval_id,
+         |         len(list_intersect(c.sh, e.sh)) AS shared
+         |  FROM sh3 c JOIN sh3 e ON c.doc_id >= 25 AND e.doc_id < 25)
+         |SELECT doc_id, count(*) AS n_eval_hits,
+         |       CAST(max(shared) AS BIGINT) AS max_shared
+         |FROM pairs WHERE shared >= 3
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "v_resume_pending" ->
       s"""WITH $cte

@@ -54,6 +54,24 @@ object StatsOps {
         floor(col("n_tok") / 10.0).cast("bigint").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Per-source top-k token VOCABULARY stats over the token arrays — the
+    * payload-level distribution a token-table validator should expose
+    * (which ids dominate a source's sequences). One explode + hash
+    * aggregate (map-side combined: state is O(|vocab-slice|), not O(rows))
+    * + a per-source top-k window over the tiny aggregated frame.
+    * Deterministic tie-break (count desc, token asc).
+    */
+  def topTokens(tokens: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = tokens.where(col("tokens").isNotNull)
+      .select(col("source"), explode(col("tokens")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("token"))
+    counts.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Exact per-source quantiles of n_tok (linear interpolation — same
     * algorithm as DuckDB's quantile_cont, so oracle-comparable). The sketch
     * path for 100 TB is [[graft.functions.KllSketch]]; this exact variant is

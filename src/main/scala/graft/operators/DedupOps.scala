@@ -237,6 +237,34 @@ object DedupOps {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Train/eval CONTAMINATION check — the decontamination pass a training
+    * pipeline runs before a corpus ships: flag corpus documents sharing at
+    * least `minShared` distinct word `w`-shingles with ANY document of the
+    * (small) evaluation set. Returns (doc_id, n_eval_hits, max_shared).
+    *
+    * Shape: the eval set is tiny by definition → its exploded shingle index
+    * BROADCASTS; the corpus side is one scan + explode, and the per-(corpus
+    * doc, eval doc) overlap count partial-aggregates map-side. No shuffle
+    * of corpus text, no all-pairs join. `bucketCap` drops eval shingles
+    * shared by more than `cap` EVAL docs (ubiquitous phrases — the same
+    * guard class as the LSH caps; with a small eval set it rarely binds).
+    */
+  def contaminationCheck(corpus: DataFrame, evalDocs: DataFrame,
+      w: Int = 3, minShared: Int = 3, bucketCap: Int = 1000): DataFrame = {
+    val evalSh = capBuckets(
+      evalDocs.select(col("doc_id").as("eval_id"),
+        explode(array_distinct(shingles(col("text"), w))).as("sh")),
+      Seq("sh"), bucketCap)
+    val corpusSh = corpus.select(col("doc_id"),
+      explode(array_distinct(shingles(col("text"), w))).as("sh"))
+    corpusSh.join(broadcast(evalSh), Seq("sh"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("shared")).as("max_shared"))
+  }
+
   // ---- winnowing ----------------------------------------------------------
 
   /** Near-duplicates via winnowing fingerprints over word `kWords`-shingles
