@@ -76,6 +76,20 @@ object ValidationRunner {
       ruleSet: RuleSet,
       dims: Map[String, DataFrame],
       manifestPath: String,
+      snapshotId: Long): RunResult =
+    runResumableWith(spark, tokens,
+      df => Validator.violations(df, ruleSet, dims), manifestPath, snapshotId)
+
+  /** Same lifecycle with a CALLER-SUPPLIED violations pipeline (routed
+    * dispatch, custom rule vocabularies) — resume-by-anti-join, batched
+    * fast path, per-partition containment fallback, manifest bookkeeping
+    * all identical; only the validation plan differs.
+    */
+  def runResumableWith(
+      spark: SparkSession,
+      tokens: DataFrame,
+      violationsOf: DataFrame => DataFrame,
+      manifestPath: String,
       snapshotId: Long): RunResult = {
 
     val all = tokens.select("source").distinct()
@@ -104,7 +118,7 @@ object ValidationRunner {
     // loop) — the filter prunes partitions at the scan when stored by source
     val slice = tokens.where(col("source").isin(pending: _*))
     val t0 = System.nanoTime()
-    val detailed = Validator.violations(slice, ruleSet, dims)
+    val detailed = violationsOf(slice)
     val summary = Validator.summary(slice, detailed).cache()
     val rows = try summary.collect() catch {
       case _: Throwable =>
@@ -116,7 +130,7 @@ object ValidationRunner {
           val one = tokens.where(col("source") === lit(p))
           val tp = System.nanoTime()
           try {
-            val d = Validator.violations(one, ruleSet, dims)
+            val d = violationsOf(one)
             val s = Validator.summary(one, d).collect()
             val ms = (System.nanoTime() - tp) / 1000000
             if (s.isEmpty) ManifestEntry(p, snapshotId, "ok", 0L, 0L, ms)

@@ -52,9 +52,12 @@ object Validate {
       summary: DataFrame, reportPath: Option[String])
 
   /** One resumable routed run (the testable core; `main` is arg plumbing).
-    * Fast path: ONE job over all pending partitions — partition pruning at
-    * the scan when the table is stored by `source`; rule-set count never
-    * multiplies I/O (violationsRouted batches every set into the scan).
+    * Delegates the lifecycle — resume-by-anti-join, ONE batched job over
+    * all pending partitions (partition pruning at the scan when stored by
+    * `source`), per-partition containment fallback, manifest bookkeeping —
+    * to [[graft.engine.ValidationRunner.runResumableWith]], with routed
+    * dispatch as the violations pipeline (rule-set count never multiplies
+    * I/O: every set batches into the scan).
     */
   def run(spark: SparkSession, tokens: DataFrame, rulesJson: String,
       dimsJson: Option[String], manifestPath: String, snapshotId: Long,
@@ -64,39 +67,9 @@ object Validate {
     val dims = dimsJson.map(DimensionLoader.parse(spark, _))
       .getOrElse(Map.empty)
 
-    val all = tokens.select("source").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    val done = Checkpoint.completedPartitions(spark, manifestPath, snapshotId)
-    val pending = all.filterNot(done.toSet)
-
-    val (validated, summary) =
-      if (pending.isEmpty) {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("partition")
-          .orderBy(col("run_ts").desc, col("n_rows").desc)
-        val s = Checkpoint.read(spark, manifestPath)
-          .where(col("snapshot_id") === snapshotId && col("status") === "ok")
-          .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
-          .select(col("partition").as("source"), col("n_rows"),
-            col("n_violations"), (col("n_violations") === 0).as("pass"))
-        (Nil, s)
-      } else {
-        val slice = tokens.where(col("source").isin(pending: _*))
-        val t0 = System.nanoTime()
-        val detailed = Validator.violationsRouted(slice, routing, dims)
-        val s = Validator.summary(slice, detailed)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val wallMs = (System.nanoTime() - t0) / 1000000
-        val entries = s.collect().map { r =>
-          ManifestEntry(r.getString(0), snapshotId, "ok",
-            r.getLong(1), r.getLong(2), wallMs)
-        }.toSeq
-        val seen = entries.map(_.partition).toSet
-        val empty = pending.filterNot(seen).map(p =>
-          ManifestEntry(p, snapshotId, "ok", 0L, 0L, wallMs))
-        Checkpoint.append(spark, manifestPath, entries ++ empty)
-        (pending, s)
-      }
+    val result = graft.engine.ValidationRunner.runResumableWith(
+      spark, tokens, df => Validator.violationsRouted(df, routing, dims),
+      manifestPath, snapshotId)
 
     val reportPath = reportDir.map { dir =>
       // report over the FULL table at this snapshot (reference shape: one
@@ -106,7 +79,8 @@ object Validate {
         Validator.summary(tokens, detailedAll), detailedAll, metadataRules)
       ReportOps.persistReport(rep, dir, snapshotId)
     }
-    RunOutcome(validated, done, summary, reportPath)
+    RunOutcome(result.validatedPartitions, result.skippedPartitions,
+      result.summary, reportPath)
   }
 
   def main(argv: Array[String]): Unit = {
