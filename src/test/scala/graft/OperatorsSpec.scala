@@ -157,6 +157,34 @@ class DedupOpsSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(dups.contains((1L, 2L)))
   }
+
+  test("contamination check: overlap thresholds, no self/eval-internal hits") {
+    val eval = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta"), // 4 shared 3-shingles w/ 1
+      (11L, "one two three something else entirely"),   // 1 shared w/ 2 → below min
+      (12L, "totally unrelated words here now")         // clean
+    ).toDF("doc_id", "text")
+    val got = DedupOps.contaminationCheck(corpus, eval, w = 3, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((10L, 1L, 4L))) // (doc, n_eval_hits, max_shared)
+  }
+
+  test("topTokens: frequency order, deterministic ties, null arrays skipped") {
+    val t = Seq(
+      ("a", Array(1, 1, 2, 3), 4, "S"),
+      ("b", Array(1, 2, 2, 9), 4, "S"),
+      ("c", null.asInstanceOf[Array[Int]], 0, "S")
+    ).toDF("doc_id", "tokens", "n_tok", "source")
+    val got = graft.engine.StatsOps.topTokens(t, 3)
+      .select("token", "cnt", "rank")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSeq
+      .sortBy(_._3)
+    // 1 and 2 tie at 3 → lower token id first; then 3 (ties with 9 → 3 wins)
+    assert(got === Seq((1, 3L, 1), (2, 3L, 2), (3, 1L, 3)))
+  }
 }
 
 class SimilarityOpsSpec extends SparkSpec {
