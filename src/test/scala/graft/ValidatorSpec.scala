@@ -110,6 +110,22 @@ class ValidatorSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("small-dim referential compiles to a pushable predicate; null key violates") {
+    import graft.sources.TokenTable
+    val df = Seq(
+      TokenRow("ok", Array(1), 1, "A"),
+      TokenRow("bad", Array(1), 1, "nope"),
+      TokenRow("nul", Array(1), 1, null)).toDF
+    val v = Validator.referentialViolations(df,
+      ReferentialRule("ref_source", "source", "allowed_sources"),
+      TokenTable.allowedDim(spark))
+    // null keys are violations, same as the anti-join semantics
+    assert(v.select("doc_id").as[String].collect().toSet === Set("bad", "nul"))
+    // and the plan is a predicate, not a join (pruning-capable at the scan)
+    val plan = v.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(1200))
+  }
+
   test("big-dimension referential: shuffle join, never broadcast") {
     // dimension too big to broadcast in production: the merge hint must pin
     // a sort-merge join regardless of the optimizer's size estimate
