@@ -115,13 +115,19 @@ object TextOps {
       "ado", " co", "ció", "nte", " se", "una", " un", "par"))
   }
 
-  /** Trigram sliding window over lowercased text as an array column. */
-  def charTrigrams(text: Column): Column = {
-    val t = lower(text)
+  /** Trigram sliding window over a PRE-LOWERCASED text column.
+    *
+    * The input must be a materialized column (stage `lower(text)` through
+    * its own projection), not an inline expression: `transform` is an
+    * interpreted higher-order function with NO common-subexpression
+    * elimination, so an inline `lower(text)` would re-evaluate once PER
+    * TRIGRAM — O(len²) per document, the same trap the winnowing operator
+    * documents ([[winnowSelect]]). [[langIdNgram]] stages it.
+    */
+  def charTrigrams(t: Column): Column =
     when(length(t) >= 3,
       transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
       .otherwise(array(t))
-  }
 
   /** N-gram-profile language ID (replaces the 9-marker heuristic of
     * [[langId]] with the standard character-n-gram profile method,
@@ -141,8 +147,9 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val prof = profiles.toDF("tri", "plang", "w")
-    val tris = docs.select(col("doc_id"),
-      explode(charTrigrams(col("text"))).as("tri"))
+    val tris = docs
+      .select(col("doc_id"), lower(col("text")).as("lt"))
+      .select(col("doc_id"), explode(charTrigrams(col("lt"))).as("tri"))
     val scored = tris.join(broadcast(prof), Seq("tri"))
       .groupBy(col("doc_id"), col("plang"))
       .agg(sum(col("w")).as("score"))
