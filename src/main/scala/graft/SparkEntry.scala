@@ -270,6 +270,42 @@ object Queries {
       .orderBy("category", "severity_rank", "rule_id", "detail_generic")
   }
 
+  /** Report from a RESUMED run with zero extra rule passes (VERDICT r3 #1):
+    * leg 1 validates only partitions A and N (a partial first run), leg 2
+    * resumes over the full table and validates ONLY the remaining
+    * partitions; both legs terminate their single rule pass in a
+    * [[graft.engine.ViolationStore]] write, and the report is assembled
+    * from the persisted artifacts + the manifest-reconstructed summary —
+    * the token table is never re-validated (CheckpointSpec pins the
+    * assembled plan token-scan-free). Must equal the directly-assembled
+    * fresh report, which the oracle recomputes.
+    *
+    * The rule set drops the uniqueness rule: dataset-global rules are
+    * per-validated-slice by definition under resume (a duplicate spanning
+    * two legs' slices is visible to neither), so only row-local rules make
+    * fresh == resumed an exact identity worth pinning.
+    */
+  def rReportResumed(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${sys.env.getOrElse("GRAFT_TOK_CACHE", "/tmp/graft_tok_cache")}/" +
+      s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_resumed"
+    graft.sources.Fs.delete(spark, base) // exercise the resume every run
+    val manifest = s"$base/manifest"
+    val vstore = s"$base/violations"
+    val rs = RuleSet("row_ref",
+      ruleSet.rules.filterNot(_.isInstanceOf[graft.rules.UniqueRule]))
+    val violFn = (df: DataFrame) => Validator.violations(df, rs, dims(spark))
+    val t = tok(spark, dir)
+    graft.engine.ValidationRunner.runResumableWith(spark,
+      t.where(col("source").isin("A", "N")), violFn, manifest, 1L,
+      Some(vstore))
+    graft.engine.ValidationRunner.runResumableWith(spark,
+      t, violFn, manifest, 1L, Some(vstore))
+    graft.report.ReportOps.assemble(
+        graft.engine.Checkpoint.summaryAt(spark, manifest, 1L),
+        graft.engine.ViolationStore.latest(spark, vstore, 1L), fdpgRules)
+      .orderBy("category", "severity_rank", "rule_id", "detail_generic")
+  }
+
   /** Stateful streaming uniqueness under the oracle (VERDICT r2 #7): the
     * final per-key emission of the (count, minSource) state must equal the
     * batch duplicate set exactly, whatever the micro-batch file split.
@@ -767,6 +803,7 @@ object Queries {
     "s_stream_unique" -> (sStreamUnique _),
     "s_window_drift" -> (sWindowDrift _),
     "r_report_persisted" -> (rReportPersisted _),
+    "r_report_resumed" -> (rReportResumed _),
     "v_ref_big_dim" -> (vRefBigDim _),
     "v_ref_chain" -> (vRefChain _),
     "v_ref_loaded_dim" -> (vRefLoadedDim _),
@@ -873,28 +910,41 @@ object Queries {
   /** All violations as a DuckDB CTE `v(doc_id, rule_id, detail, severity,
     * source)` — the closed-form recomputation of the injected violations.
     */
+  /** The four ROW-LOCAL branches of the default rule set (shared between
+    * the full violations CTE and the resumed-report oracle, which drops
+    * the dataset-global uniqueness branch).
+    */
+  private val rowRefViolBranches: String =
+    """  SELECT doc_id, 'not_null_tokens' AS rule_id,
+      |         'tokens is null: minimum required = 1, but only found 0' AS detail,
+      |         'fatal' AS severity, source
+      |  FROM tok WHERE tokens_null
+      |  UNION ALL
+      |  SELECT doc_id, 'len_consistency',
+      |         'n_tok=' || n_tok || ' size=' || n_true, 'error', source
+      |  FROM tok WHERE NOT tokens_null AND n_tok <> n_true
+      |  UNION ALL
+      |  SELECT doc_id, 'token_bounds', 'token out of [0,50000)', 'warning', source
+      |  FROM tok WHERE NOT tokens_null AND key % 109 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 'ref_source',
+      |         'source=''' || source || ''' not in allowed_sources', 'error', source
+      |  FROM tok WHERE source NOT IN ('A','N','R')""".stripMargin
+
   private val violationsCte: String =
     s"""$cte, v AS (
-       |  SELECT doc_id, 'not_null_tokens' AS rule_id,
-       |         'tokens is null: minimum required = 1, but only found 0' AS detail,
-       |         'fatal' AS severity, source
-       |  FROM tok WHERE tokens_null
-       |  UNION ALL
-       |  SELECT doc_id, 'len_consistency',
-       |         'n_tok=' || n_tok || ' size=' || n_true, 'error', source
-       |  FROM tok WHERE NOT tokens_null AND n_tok <> n_true
-       |  UNION ALL
-       |  SELECT doc_id, 'token_bounds', 'token out of [0,50000)', 'warning', source
-       |  FROM tok WHERE NOT tokens_null AND key % 109 = 0
-       |  UNION ALL
-       |  SELECT doc_id, 'ref_source',
-       |         'source=''' || source || ''' not in allowed_sources', 'error', source
-       |  FROM tok WHERE source NOT IN ('A','N','R')
+       |$rowRefViolBranches
        |  UNION ALL
        |  SELECT doc_id, 'unique_doc_id',
        |         'doc_id occurs ' || cnt || ' times', 'warning', minsrc
        |  FROM (SELECT doc_id, count(*) AS cnt, min(source) AS minsrc
        |        FROM tok GROUP BY doc_id) WHERE cnt > 1
+       |)""".stripMargin
+
+  /** Row-local rules only — what a resumed run's report provably equals. */
+  private val violationsNoUniqueCte: String =
+    s"""$cte, v AS (
+       |$rowRefViolBranches
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -1273,6 +1323,26 @@ object Queries {
     // reloaded latest artifact == the directly assembled full report
     "r_report_persisted" ->
       s"""WITH $violationsCte
+         |SELECT CASE WHEN rule_id IN ('len_consistency','token_bounds','not_null_tokens')
+         |            THEN 'fdpg' ELSE 'general' END AS category,
+         |       CASE severity WHEN 'fatal' THEN 0 WHEN 'error' THEN 1
+         |            WHEN 'warning' THEN 2 ELSE 3 END AS severity_rank,
+         |       CASE WHEN severity IN ('fatal','error') THEN 'red'
+         |            WHEN severity = 'warning' THEN 'orange'
+         |            ELSE 'gray' END AS color,
+         |       severity, rule_id,
+         |       regexp_replace(regexp_replace(detail, '\\[[0-9]+\\]', '[*]', 'g'),
+         |                      '''[^'']*''', '''?''', 'g') AS detail_generic,
+         |       count(*) AS cnt
+         |FROM v GROUP BY 1, 2, 3, 4, 5, 6
+         |ORDER BY category, severity_rank, rule_id, detail_generic""".stripMargin,
+
+    // report assembled from persisted per-partition violation artifacts
+    // after a two-leg resumed run == the fresh report over the row-local
+    // rule set (uniqueness is per-validated-slice under resume, so it is
+    // excluded from the pinned identity)
+    "r_report_resumed" ->
+      s"""WITH $violationsNoUniqueCte
          |SELECT CASE WHEN rule_id IN ('len_consistency','token_bounds','not_null_tokens')
          |            THEN 'fdpg' ELSE 'general' END AS category,
          |       CASE severity WHEN 'fatal' THEN 0 WHEN 'error' THEN 1

@@ -24,9 +24,14 @@ object Checkpoint {
 
   def read(spark: SparkSession, manifestPath: String): DataFrame = {
     import spark.implicits._
-    if (graft.sources.Fs.exists(spark, manifestPath))
-      spark.read.parquet(manifestPath)
-    else spark.emptyDataset[ManifestEntry].toDF()
+    if (graft.sources.Fs.exists(spark, manifestPath)) {
+      val df = spark.read.parquet(manifestPath)
+      // manifests written before the run_ts column existed must stay
+      // readable (the latest-generation window orders by it): default the
+      // missing column to generation 0 instead of schema-versioning the path
+      if (df.columns.contains("run_ts")) df
+      else df.withColumn("run_ts", lit(0L))
+    } else spark.emptyDataset[ManifestEntry].toDF()
   }
 
   def completedPartitions(
@@ -36,16 +41,49 @@ object Checkpoint {
       .select("partition").distinct()
       .collect().map(_.getString(0)).toSeq
 
+  /** Next generation stamp: wall clock, bumped above any stamp already in
+    * the manifest. `System.nanoTime()` is WRONG here — its origin is
+    * arbitrary per JVM, so a resume from a new driver process could stamp
+    * generations that sort BELOW an earlier process's entries and the
+    * latest-per-partition window would pick a stale generation. Wall clock
+    * orders across processes; the `max(existing)+1` floor keeps the stamp
+    * monotonic even under clock skew between submitting hosts.
+    */
+  def nextRunTs(spark: SparkSession, manifestPath: String): Long = {
+    val maxExisting = read(spark, manifestPath)
+      .agg(coalesce(max(col("run_ts")), lit(0L))).head().getLong(0)
+    math.max(System.currentTimeMillis(), maxExisting + 1)
+  }
+
   /** Append entries, stamping the generation (`run_ts`) so later
     * reconstruction can pick the newest entry per partition
-    * deterministically across append generations.
+    * deterministically across append generations (pass `runTs` to share one
+    * generation stamp with a violation-artifact write, [[ViolationStore]]).
     */
   def append(spark: SparkSession, manifestPath: String,
-      entries: Seq[ManifestEntry]): Unit = {
+      entries: Seq[ManifestEntry], runTs: Long = -1L): Unit = {
     import spark.implicits._
-    val ts = System.nanoTime()
+    val ts = if (runTs >= 0L) runTs else nextRunTs(spark, manifestPath)
     entries.map(_.copy(run_ts = ts)).toDS().toDF()
       .write.mode(SaveMode.Append).parquet(manifestPath)
+  }
+
+  /** Per-partition summary reconstructed from the manifest at a snapshot:
+    * the LATEST ok generation per partition (several generations coexist in
+    * the append-only manifest after a contained failure + resume, or a
+    * re-run at the same snapshot). Columns match
+    * [[graft.model.SourceSummary]].
+    */
+  def summaryAt(spark: SparkSession, manifestPath: String,
+      snapshotId: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("partition")
+      .orderBy(col("run_ts").desc, col("n_rows").desc)
+    read(spark, manifestPath)
+      .where(col("snapshot_id") === snapshotId && col("status") === "ok")
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("partition").as("source"), col("n_rows"),
+        col("n_violations"), (col("n_violations") === 0).as("pass"))
   }
 }
 
@@ -84,13 +122,24 @@ object ValidationRunner {
     * dispatch, custom rule vocabularies) — resume-by-anti-join, batched
     * fast path, per-partition containment fallback, manifest bookkeeping
     * all identical; only the validation plan differs.
+    *
+    * `violationsDir`, when set, persists the detailed violations of every
+    * partition this run validates as a snapshot/generation-stamped artifact
+    * ([[ViolationStore]]) — the run's ONE rule pass then terminates in that
+    * write, the summary is computed from the persisted copy plus a
+    * count-only scan of the slice, and a later report assembles from the
+    * artifacts with ZERO additional rule passes
+    * ([[graft.tools.Validate.run]]). Dataset-level rules (uniqueness) are
+    * evaluated per validated slice by the resumable lifecycle's definition —
+    * a fresh full run slices the whole table, so nothing changes there.
     */
   def runResumableWith(
       spark: SparkSession,
       tokens: DataFrame,
       violationsOf: DataFrame => DataFrame,
       manifestPath: String,
-      snapshotId: Long): RunResult = {
+      snapshotId: Long,
+      violationsDir: Option[String] = None): RunResult = {
 
     val all = tokens.select("source").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
@@ -103,23 +152,27 @@ object ValidationRunner {
       // snapshot after upstream data changed — several ok generations
       // coexist in the append-only manifest. Keep the LATEST (max run_ts)
       // entry per partition, deterministically.
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("partition")
-        .orderBy(col("run_ts").desc, col("n_rows").desc)
-      val summary = Checkpoint.read(spark, manifestPath)
-        .where(col("snapshot_id") === snapshotId && col("status") === "ok")
-        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
-        .select(col("partition").as("source"), col("n_rows"),
-          col("n_violations"), (col("n_violations") === 0).as("pass"))
-      return RunResult(Nil, all, summary)
+      return RunResult(Nil, all,
+        Checkpoint.summaryAt(spark, manifestPath, snapshotId))
     }
+
+    val runTs = Checkpoint.nextRunTs(spark, manifestPath)
 
     // fast path: one job over all pending partitions (not a per-partition
     // loop) — the filter prunes partitions at the scan when stored by source
     val slice = tokens.where(col("source").isin(pending: _*))
     val t0 = System.nanoTime()
-    val detailed = violationsOf(slice)
-    val summary = Validator.summary(slice, detailed).cache()
+    val summary = (violationsDir match {
+      case Some(vd) =>
+        // the rule pass executes INSIDE this write; the summary below reads
+        // the persisted rows back (tiny) + one count-only scan of the slice
+        ViolationStore.persist(violationsOf(slice), vd, snapshotId, runTs)
+        Validator.summaryFromCounts(
+          slice.groupBy("source").agg(count(lit(1)).as("n_rows")),
+          ViolationStore.generation(spark, vd, snapshotId, runTs))
+      case None =>
+        Validator.summary(slice, violationsOf(slice))
+    }).cache()
     val rows = try summary.collect() catch {
       case _: Throwable =>
         // containment with attribution (reference behavior, main.py:225-263):
@@ -130,8 +183,16 @@ object ValidationRunner {
           val one = tokens.where(col("source") === lit(p))
           val tp = System.nanoTime()
           try {
-            val d = violationsOf(one)
-            val s = Validator.summary(one, d).collect()
+            val s = violationsDir match {
+              case Some(vd) =>
+                ViolationStore.persist(violationsOf(one), vd, snapshotId, runTs)
+                Validator.summaryFromCounts(
+                  one.groupBy("source").agg(count(lit(1)).as("n_rows")),
+                  ViolationStore.generation(spark, vd, snapshotId, runTs)
+                    .where(col("source") === lit(p))).collect()
+              case None =>
+                Validator.summary(one, violationsOf(one)).collect()
+            }
             val ms = (System.nanoTime() - tp) / 1000000
             if (s.isEmpty) ManifestEntry(p, snapshotId, "ok", 0L, 0L, ms)
             else ManifestEntry(p, snapshotId, "ok",
@@ -143,7 +204,7 @@ object ValidationRunner {
                 (System.nanoTime() - tp) / 1000000)
           }
         }
-        Checkpoint.append(spark, manifestPath, perPart)
+        Checkpoint.append(spark, manifestPath, perPart, runTs)
         val okParts = perPart.filter(_.status == "ok").map(_.partition)
         val failed = perPart.filterNot(_.status == "ok").map(_.partition)
         import spark.implicits._
@@ -162,7 +223,7 @@ object ValidationRunner {
     val seen = entries.map(_.partition).toSet
     val empty = pending.filterNot(seen).map(p =>
       ManifestEntry(p, snapshotId, "ok", 0L, 0L, wallMs))
-    Checkpoint.append(spark, manifestPath, entries ++ empty)
+    Checkpoint.append(spark, manifestPath, entries ++ empty, runTs)
     RunResult(pending, done, summary)
   }
 }

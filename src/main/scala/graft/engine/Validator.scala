@@ -146,8 +146,12 @@ object Validator {
   def referentialViolations(
       df: DataFrame, rule: ReferentialRule, dim: DataFrame): DataFrame = {
     val dimCol = dim.columns.head
+    // drop null dim entries: a NULL in the isin literal list makes `!isin`
+    // NULL for every non-member (silently disarming the rule), while a null
+    // dim entry can never whitelist anything under the anti-join semantics
+    // this predicate replaces
     val values = dim.select(dimCol).limit(SmallDimMaxValues + 1)
-      .collect().map(_.get(0))
+      .collect().map(_.get(0)).filter(_ != null)
     val base =
       if (values.length <= SmallDimMaxValues)
         df.where(col(rule.column).isNull ||
@@ -283,35 +287,40 @@ object Validator {
     (Seq(rowPart) ++ refs ++ uniq).reduce(_ unionByName _)
   }
 
-  /** Routed dispatch at HIGH rule-set cardinality for HOMOGENEOUS rule-set
-    * families — the reference's actual shape: its 827 per-LOINC profiles
-    * share one structure and differ only in parameters
-    * (maps/validation_mapping.json:4-833). Instead of gating each set's
-    * rules (per-row cost O(#sets × #rules), and a generated-code size that
-    * grows with the config), the family compiles to:
+  /** Routed dispatch at HIGH rule-set cardinality — the reference's actual
+    * shape: its 827 per-LOINC profiles share one structure and differ only
+    * in parameters (maps/validation_mapping.json:4-833). Instead of gating
+    * each set's rules (per-row cost O(#sets × #rules), and a generated-code
+    * size that grows with the config), the family is CLUSTERED by rule-set
+    * signature (the rule list with RangeRule bounds erased) and each
+    * cluster compiles to one template instantiation:
     *
-    *  - rules IDENTICAL across all routed sets → evaluated once, gated only
-    *    by membership in the routed-source domain;
+    *  - rules IDENTICAL across a cluster's sets → evaluated once, gated by
+    *    cluster membership (`_grp` from the broadcast parameter dimension);
     *  - [[graft.rules.RangeRule]]s that differ only in bounds → ONE
-    *    [[graft.rules.ColumnBoundsRule]] template whose bounds are joined
-    *    from a broadcast parameter dimension (source, lo, hi) built from
-    *    the routing config;
+    *    [[graft.rules.ColumnBoundsRule]] template per cluster whose bounds
+    *    are joined from the same dimension (NULL bounds self-gate, so other
+    *    clusters' rows never fire the template);
     *  - the default rule set's rules → gated by NOT-routed (null-safe).
     *
     * One scan + one broadcast hash join for ALL row rules; per-row cost
-    * O(#templates), INDEPENDENT of rule-set count — 827 or 80,000 profiles
-    * cost the same per row, and the generated code stays constant-size
-    * (WideRoutingSpec asserts whole-stage codegen with JIT-sized methods at
-    * 400 sets). Dataset-level rules identical across the family collapse
-    * the same way: per-slice uniqueness becomes ONE aggregate on the
-    * compound key (set, column) — a single shuffle at any set count, where
-    * the gated path would run one aggregate per slice — and per-slice
-    * referential checks become ONE anti-join over the routed rows (they are
-    * row-local, so the union of slice anti-joins equals the joined whole).
+    * O(#signature-clusters × #template-rules), INDEPENDENT of rule-set
+    * count — 827 or 80,000 profiles over a handful of shapes cost the same
+    * per row, and the generated code grows with the cluster count, not the
+    * config (WideRoutingSpec asserts whole-stage codegen with JIT-sized
+    * methods at 400 sets). Dataset-level rules collapse per DISTINCT rule,
+    * across clusters: uniqueness is per-slice BY DEFINITION, so every
+    * cluster sharing a unique rule pools into ONE aggregate on the
+    * compound key (set, column) — a single shuffle however many sets — and
+    * referential rules (row-local) pool into one membership check over the
+    * union of their clusters' rows. The gated path runs one aggregate per
+    * SLICE; this runs one per distinct dataset rule.
     *
-    * Falls back to [[violationsRouted]] (gated, chunk-staged) when the
-    * family is NOT homogeneous — heterogeneous sets cannot parameterize
-    * (a dataset-level rule that VARIES across sets fails homogeneity too).
+    * A fully heterogeneous config (every set its own signature) still
+    * compiles — it degenerates to one gated template per set, the same
+    * per-row work as [[violationsRouted]] with the gates supplied by the
+    * broadcast join instead of literal source lists. Only an empty routed
+    * family falls back.
     */
   def violationsRoutedWide(
       df: DataFrame, routing: RuleSetLoader.Routing,
@@ -326,90 +335,121 @@ object Validator {
       .filterKeys(n => routedSets.contains(n) && n != routing.defaultRuleSet)
       .toMap
     val defaultSet = routing.ruleSets.get(routing.defaultRuleSet)
-
-    // Homogeneous = every routed set instantiates ONE template: rules are
-    // pairwise EQUAL across sets except RangeRules, which may differ in
-    // bounds only. Identical dataset-level rules (unique / referential) ARE
-    // allowed — they compile to single compound-key jobs below; a
-    // dataset-level rule that VARIES across sets fails the zip equality and
-    // falls back to the gated path.
-    def homogeneous: Boolean = family.size >= 2 && {
-      val template = family.values.head.rules
-      family.values.forall { rs =>
-        rs.rules.size == template.size &&
-        rs.rules.zip(template).forall {
-          case (a: RangeRule, b: RangeRule) =>
-            a.id == b.id && a.column == b.column && a.severity == b.severity
-          case (a, b) => a == b
-        }
-      }
-    }
-    if (!homogeneous) return violationsRouted(df, routing, dims)
+    if (family.isEmpty) return violationsRouted(df, routing, dims)
 
     val spark = df.sparkSession
-    val template = family.values.head.rules
-    val paramTpl = template.collect {
-      case r: RangeRule if family.values.exists(_.rules.exists {
-        case o: RangeRule => o.id == r.id && (o.lo != r.lo || o.hi != r.hi)
-        case _ => false
-      }) => r
+
+    // Signature: the rule list with RangeRule bounds erased (id/column/
+    // severity/appliesTo kept — a per-set appliesTo restriction is part of
+    // the template, never silently dropped). Two sets cluster together iff
+    // they instantiate the same template.
+    def signature(rs: RuleSet): Seq[Any] = rs.rules.map {
+      case r: RangeRule => ("range", r.id, r.column, r.severity, r.appliesTo)
+      case other => other
     }
-    val paramIds = paramTpl.map(_.id).toSet
-    val sharedTplSet = RuleSet("_shared",
-      template.filterNot(r => paramIds.contains(r.id)))
+    // deterministic cluster order: by lexicographically-first member name
+    val clusters: Seq[(Seq[(String, RuleSet)], Int)] =
+      family.toSeq.sortBy(_._1)
+        .groupBy { case (_, rs) => signature(rs) }
+        .values.toSeq.sortBy(_.head._1).zipWithIndex
+    val setToGrp: Map[String, Int] = clusters.flatMap {
+      case (members, gi) => members.map { case (name, _) => name -> gi }
+    }.toMap
+
+    // Per cluster: the template, and which of its RangeRules actually VARY
+    // in bounds across the cluster (constant ranges stay literal rules —
+    // smaller generated code, pushable predicates).
+    final case class Cluster(
+        gi: Int, members: Seq[(String, RuleSet)],
+        paramTpl: Seq[RangeRule], shared: RuleSet)
+    val compiled = clusters.map { case (members, gi) =>
+      val template = members.head._2.rules
+      val paramTpl = template.collect {
+        case r: RangeRule if members.exists(_._2.rules.exists {
+          case o: RangeRule => o.id == r.id && (o.lo != r.lo || o.hi != r.hi)
+          case _ => false
+        }) => r
+      }
+      val paramIds = paramTpl.map(_.id).toSet
+      Cluster(gi, members, paramTpl,
+        RuleSet(s"_tpl$gi", template.filterNot(r => paramIds.contains(r.id))))
+    }
 
     // parameter dimension: one row per ROUTED source carrying its set name
-    // (the slice key for compound-key dataset rules) plus that source's
-    // bounds for every parameterized rule — config-sized (the analogue of
+    // (the slice key for compound-key dataset rules), its cluster id, and
+    // that source's bounds for every parameterized rule of ITS cluster
+    // (null elsewhere) — config-sized (the analogue of
     // validation_mapping.json itself), broadcast to the scan
+    val paramCols: Seq[(Int, RangeRule)] =
+      compiled.flatMap(c => c.paramTpl.map(t => (c.gi, t)))
     val paramRows: Seq[org.apache.spark.sql.Row] =
-      routing.routing.toSeq.sortBy(_._1).map { case (src, setName) =>
+      // a source explicitly routed to the DEFAULT set is not in the family:
+      // it gets no dimension row, joins null, and lands in the default gate
+      // below — the same semantics the gated path gives it
+      routing.routing.toSeq.filter(e => family.contains(e._2))
+        .sortBy(_._1).map { case (src, setName) =>
         val rs = routing.ruleSets(setName)
-        val bounds = paramTpl.flatMap { t =>
-          val r = rs.rules.collectFirst {
-            case o: RangeRule if o.id == t.id => o
-          }.get
-          Seq(r.lo, r.hi)
+        val gi = setToGrp(setName)
+        val bounds = paramCols.flatMap { case (g, t) =>
+          if (g != gi) Seq(null, null)
+          else {
+            val r = rs.rules.collectFirst {
+              case o: RangeRule if o.id == t.id => o
+            }.get
+            Seq(java.lang.Long.valueOf(r.lo), java.lang.Long.valueOf(r.hi))
+          }
         }
-        org.apache.spark.sql.Row.fromSeq(src +: setName +: bounds)
+        org.apache.spark.sql.Row.fromSeq(src +: setName +: gi +: bounds)
       }
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    def loCol(gi: Int, id: String) = s"_lo_g${gi}_$id"
+    def hiCol(gi: Int, id: String) = s"_hi_g${gi}_$id"
     val paramSchema = StructType(
       StructField("source", StringType) ::
       StructField("_set", StringType) ::
-      paramTpl.flatMap(t => Seq(
-        StructField(s"_lo_${t.id}", LongType),
-        StructField(s"_hi_${t.id}", LongType))).toList)
+      StructField("_grp", IntegerType) ::
+      paramCols.flatMap { case (g, t) => Seq(
+        StructField(loCol(g, t.id), LongType),
+        StructField(hiCol(g, t.id), LongType))
+      }.toList)
     val paramDim = spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(paramRows).asJava,
       paramSchema)
 
     val joined = df.join(broadcast(paramDim), Seq("source"), "left")
 
-    // shared rules apply to routed sources only → gate by dim membership
-    // (_set non-null ⇔ source routed); default rules gate by NOT routed —
+    // cluster rules gate by `_grp`; default rules gate by NOT routed —
     // null-safe by construction (a NULL source joins nothing → _set null →
     // the row lands in the default set, whose notNull rules should see it)
     val routedGate = col("_set").isNotNull
-    val paramRules: Seq[(Rule, Option[Column])] = paramTpl.map { t =>
-      (ColumnBoundsRule(t.id, t.column, s"_lo_${t.id}", s"_hi_${t.id}",
-        t.severity): Rule) -> None // null bounds self-gate
+    val paramRules: Seq[(Rule, Option[Column])] =
+      paramCols.map { case (g, t) =>
+        (ColumnBoundsRule(t.id, t.column, loCol(g, t.id), hiCol(g, t.id),
+          t.severity, t.appliesTo): Rule) -> None // null bounds self-gate
+      }
+    val sharedRules = compiled.flatMap { c =>
+      val gate: Option[Column] =
+        if (clusters.size == 1) Some(routedGate)
+        else Some(col("_grp") === lit(c.gi))
+      c.shared.rowRules.map(r => r -> gate)
     }
-    val sharedRules =
-      sharedTplSet.rowRules.map(r => r -> (Some(routedGate): Option[Column]))
     val defaultRows = defaultSet.toSeq.flatMap(_.rowRules.map(
       r => r -> (Some(!routedGate): Option[Column])))
     val rowPart =
       rowViolationsGated(joined, sharedRules ++ paramRules ++ defaultRows)
 
-    // dataset rules, identical across the family, collapse to ONE job each
-    // instead of one per slice: uniqueness is per-slice BY DEFINITION, so
-    // it aggregates on the compound key (_set, column) — a single shuffle
-    // whatever the set count; referential rules are row-local, so the union
-    // of per-slice anti-joins IS the anti-join over all routed rows.
-    val routedRows = joined.where(routedGate)
-    val uniqParts = sharedTplSet.uniqueRules.map { u =>
-      routedRows
+    // dataset rules collapse per DISTINCT rule across clusters: one
+    // compound-key aggregate / membership check over the union of the
+    // clusters that carry the rule (one shuffle per distinct rule, not per
+    // set and not per cluster)
+    def clusterGate(gis: Seq[Int]): Column =
+      if (gis.size == clusters.size) routedGate
+      else col("_grp").isin(gis: _*)
+    val uniqJobs = compiled.flatMap(c => c.shared.uniqueRules.map(_ -> c.gi))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+      .sortBy(_._1.id)
+    val uniqParts = uniqJobs.map { case (u, gis) =>
+      joined.where(clusterGate(gis))
         .groupBy(col("_set"), col(u.column))
         .agg(count(lit(1)).as("cnt"), min(col("source")).as("source"))
         .where(col("cnt") > 1)
@@ -419,8 +459,13 @@ object Validator {
             lit(" times")).as("detail"),
           lit(u.severity).as("severity"), col("source"))
     }
-    val refParts = sharedTplSet.referentialRules.map { r =>
-      referentialViolations(routedRows, r, dims(r.dimension))
+    val refJobs = compiled
+      .flatMap(c => c.shared.referentialRules.map(_ -> c.gi))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+      .sortBy(_._1.id)
+    val refParts = refJobs.map { case (r, gis) =>
+      referentialViolations(joined.where(clusterGate(gis)), r,
+        dims(r.dimension))
     }
     val defaultSlice = joined.where(!routedGate)
     val defaultUniq = defaultSet.toSeq.flatMap(_.uniqueRules.map(

@@ -23,4 +23,10 @@ object Fs {
     val p = new Path(path)
     fs(spark, p).exists(p)
   }
+
+  /** Recursive delete (fixture/cache reset); no-op when absent. */
+  def delete(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    fs(spark, p).delete(p, true)
+  }
 }

@@ -128,7 +128,9 @@ object TokenTable {
     // already-partitioned token table and skip this (and the scan has many
     // row groups, so the guard keeps this a no-op there).
     val target = liRaw.sparkSession.sparkContext.defaultParallelism
-    val li = if (liRaw.rdd.getNumPartitions < target)
+    // toRdd (internal-row RDD) reads the physical plan's partitioning
+    // without appending the Row-deserialization stage `.rdd` would build
+    val li = if (liRaw.queryExecution.toRdd.getNumPartitions < target)
       liRaw.repartition(target) else liRaw
     val key = (li("l_orderkey") * 7 + li("l_linenumber")).cast("bigint")
     val nTrue = li("l_quantity").cast("int")

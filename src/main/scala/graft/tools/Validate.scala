@@ -32,7 +32,8 @@ object Validate {
 
   final case class Args(
       tokens: String, rules: String, dims: Option[String],
-      manifest: String, snapshot: Long, report: Option[String])
+      manifest: String, snapshot: Long, report: Option[String],
+      violations: Option[String])
 
   def parseArgs(argv: Array[String]): Args = {
     val m = argv.sliding(2, 2).collect {
@@ -44,12 +45,18 @@ object Validate {
       dims = m.get("dims"),
       manifest = m("manifest"),
       snapshot = m.getOrElse("snapshot", "0").toLong,
-      report = m.get("report"))
+      report = m.get("report"),
+      violations = m.get("violations"))
   }
 
   final case class RunOutcome(
       validated: Seq[String], skipped: Seq[String],
-      summary: DataFrame, reportPath: Option[String])
+      summary: DataFrame, reportPath: Option[String],
+      /** Partitions whose contained per-partition fallback FAILED — nonzero
+        * means the run is partial; `main` prints the count and exits
+        * nonzero so an orchestrator can't misread it as clean.
+        */
+      failed: Seq[String] = Nil)
 
   /** One resumable routed run (the testable core; `main` is arg plumbing).
     * Delegates the lifecycle — resume-by-anti-join, ONE batched job over
@@ -58,49 +65,65 @@ object Validate {
     * to [[graft.engine.ValidationRunner.runResumableWith]], with routed
     * dispatch as the violations pipeline (rule-set count never multiplies
     * I/O: every set batches into the scan).
+    *
+    * The run's single rule pass terminates in a [[ViolationStore]] write
+    * (default layout `<manifest>_violations`), and `--report` assembles the
+    * artifact from those persisted violations plus the manifest-
+    * reconstructed summary — the reference's write-the-report-from-
+    * collected-issues shape (main.py:296-304). A `--report` on a RESUMED
+    * run therefore re-validates NOTHING: completed partitions contribute
+    * their stored generations (one rule pass per partition per snapshot,
+    * ever — CheckpointSpec pins the report plan token-scan-free).
     */
   def run(spark: SparkSession, tokens: DataFrame, rulesJson: String,
       dimsJson: Option[String], manifestPath: String, snapshotId: Long,
       reportDir: Option[String],
-      metadataRules: Seq[String] = Nil): RunOutcome = {
+      metadataRules: Seq[String] = Nil,
+      violationsDir: Option[String] = None): RunOutcome = {
     val routing = RuleSetLoader.parse(rulesJson)
     val dims = dimsJson.map(DimensionLoader.parse(spark, _))
       .getOrElse(Map.empty)
+    val vDir = violationsDir.getOrElse(s"${manifestPath}_violations")
 
     val result = graft.engine.ValidationRunner.runResumableWith(
       spark, tokens, df => Validator.violationsRouted(df, routing, dims),
-      manifestPath, snapshotId)
+      manifestPath, snapshotId, Some(vDir))
 
     val reportPath = reportDir.map { dir =>
-      // report over the FULL table at this snapshot (reference shape: one
-      // report artifact per run, main.py:296-304)
-      val detailedAll = Validator.violationsRouted(tokens, routing, dims)
       val rep = ReportOps.assemble(
-        Validator.summary(tokens, detailedAll), detailedAll, metadataRules)
+        Checkpoint.summaryAt(spark, manifestPath, snapshotId),
+        graft.engine.ViolationStore.latest(spark, vDir, snapshotId),
+        metadataRules)
       ReportOps.persistReport(rep, dir, snapshotId)
     }
     RunOutcome(result.validatedPartitions, result.skippedPartitions,
-      result.summary, reportPath)
+      result.summary, reportPath, result.failedPartitions)
   }
 
   def main(argv: Array[String]): Unit = {
     val args = parseArgs(argv)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = graft.Sessions.local(cpus, "graft-validate")
-    try {
-      val rulesJson = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(args.rules)))
-      val dimsJson = args.dims.map(p => new String(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
-      val out = run(spark, spark.read.parquet(args.tokens), rulesJson,
-        dimsJson, args.manifest, args.snapshot, args.report)
-      val rows = out.summary.orderBy("source").collect().map { r =>
-        s"""{"source":"${r.getString(0)}","n_rows":${r.getLong(1)},""" +
-          s""""n_violations":${r.getLong(2)},"pass":${r.getBoolean(3)}}"""
-      }.mkString("[", ",", "]")
-      println(s"""{"validated":${out.validated.size},""" +
-        s""""skipped":${out.skipped.size},"summary":$rows""" +
-        out.reportPath.map(p => s""","report":"$p"""").getOrElse("") + "}")
-    } finally spark.stop()
+    val failed =
+      try {
+        val rulesJson = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(args.rules)))
+        val dimsJson = args.dims.map(p => new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
+        val out = run(spark, spark.read.parquet(args.tokens), rulesJson,
+          dimsJson, args.manifest, args.snapshot, args.report,
+          violationsDir = args.violations)
+        val rows = out.summary.orderBy("source").collect().map { r =>
+          s"""{"source":"${r.getString(0)}","n_rows":${r.getLong(1)},""" +
+            s""""n_violations":${r.getLong(2)},"pass":${r.getBoolean(3)}}"""
+        }.mkString("[", ",", "]")
+        println(s"""{"validated":${out.validated.size},""" +
+          s""""skipped":${out.skipped.size},"failed":${out.failed.size},""" +
+          s""""summary":$rows""" +
+          out.reportPath.map(p => s""","report":"$p"""").getOrElse("") + "}")
+        out.failed.size
+      } finally spark.stop()
+    // a contained-failure run is PARTIAL: exit nonzero so schedulers retry
+    if (failed > 0) sys.exit(2)
   }
 }

@@ -100,6 +100,85 @@ class CheckpointSpec extends SparkSpec {
     assert(done.toSet === Set("A", "N"))
   }
 
+  test("run_ts stamps monotonically above any existing generation") {
+    val dir = Files.createTempDirectory("graft-manifest6").toString + "/manifest"
+    // an earlier appender stamped an absurdly HIGH generation (the
+    // nanoTime-origin failure mode this guards against: a prior process
+    // whose clock origin sorts above ours); the next auto-stamp must still
+    // land ABOVE it so the newest append wins the latest-per-partition pick
+    Checkpoint.append(spark, dir, Seq(
+      graft.model.ManifestEntry("A", 1L, "ok", 5L, 5L, 0L)),
+      runTs = Long.MaxValue / 2)
+    Checkpoint.append(spark, dir, Seq(
+      graft.model.ManifestEntry("A", 1L, "ok", 2L, 1L, 0L))) // auto-stamped
+    val s = Checkpoint.summaryAt(spark, dir, 1L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(s === Seq(("A", 2L, 1L)))
+  }
+
+  test("manifests written before run_ts existed stay readable") {
+    val dir = Files.createTempDirectory("graft-manifest7").toString + "/manifest"
+    // a pre-run_ts manifest: same columns minus the generation stamp
+    Seq(("A", 1L, "ok", 2L, 1L, 0L), ("N", 1L, "ok", 1L, 0L, 0L))
+      .toDF("partition", "snapshot_id", "status", "n_rows", "n_violations",
+        "wall_ms")
+      .write.parquet(dir)
+    val r = Checkpoint.read(spark, dir)
+    assert(r.columns.contains("run_ts"))
+    // the latest-generation window must not throw on the defaulted column
+    val s = Checkpoint.summaryAt(spark, dir, 1L).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(s === Set(("A", 2L, 1L), ("N", 1L, 0L)))
+    // and a NEW append (which stamps run_ts) must coexist with the old rows
+    Checkpoint.append(spark, dir, Seq(
+      graft.model.ManifestEntry("A", 1L, "ok", 3L, 0L, 0L)))
+    val s2 = Checkpoint.summaryAt(spark, dir, 1L).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(s2 === Set(("A", 3L, 0L), ("N", 1L, 0L)))
+  }
+
+  test("resumed-run report assembles from artifacts with zero input scans") {
+    val tmp = Files.createTempDirectory("graft-vstore").toString
+    val manifest = s"$tmp/manifest"
+    val vstore = s"$tmp/violations"
+    // row-local rules only: under resume, dataset-global uniqueness is
+    // per-validated-slice by definition, so the pinned fresh==resumed
+    // identity holds exactly for the row/referential family
+    val rs = RuleSet("row_ref",
+      ruleSet.rules.filterNot(_.isInstanceOf[graft.rules.UniqueRule]))
+    val violFn =
+      (df: org.apache.spark.sql.DataFrame) =>
+        graft.engine.Validator.violations(df, rs, dims)
+    // leg 1: only partition A visible; leg 2: full table resumes the rest
+    ValidationRunner.runResumableWith(spark,
+      fixture.where(col("source") === "A"), violFn, manifest, 1L, Some(vstore))
+    val leg2 = ValidationRunner.runResumableWith(
+      spark, fixture, violFn, manifest, 1L, Some(vstore))
+    assert(leg2.validatedPartitions.toSet === Set("N", "R"))
+    assert(leg2.skippedPartitions.toSet === Set("A"))
+
+    val resumed = graft.report.ReportOps.assemble(
+      Checkpoint.summaryAt(spark, manifest, 1L),
+      graft.engine.ViolationStore.latest(spark, vstore, 1L), Nil)
+    val fresh = graft.report.ReportOps.assemble(
+      graft.engine.Validator.summary(fixture, violFn(fixture)),
+      violFn(fixture), Nil)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5), r.getLong(6))).toSet
+    assert(rows(resumed) === rows(fresh))
+    assert(rows(resumed).nonEmpty)
+
+    // the scan-budget proof: the assembled-from-artifacts plan reads ONLY
+    // the violation store (parquet) — never the token input (which here is
+    // an in-memory LocalTableScan, so its absence is structural)
+    val plan = resumed.queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"),
+      "report plan re-reads the token input — it must assemble from artifacts")
+    assert(plan.contains("Scan parquet") || plan.contains("FileScan"),
+      "report plan reads no artifacts at all?")
+  }
+
   test("manifest records per-partition lineage + metrics") {
     val dir = Files.createTempDirectory("graft-manifest3").toString + "/manifest"
     ValidationRunner.runResumable(spark, fixture, ruleSet, dims, dir, 1L)

@@ -126,6 +126,21 @@ class ValidatorSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(1200))
   }
 
+  test("a NULL dim entry never disarms the compiled membership predicate") {
+    // `!isin(values)` with a null in the literal list is NULL for every
+    // non-member — where() would drop ALL violations and the rule silently
+    // never fires. Null entries must be filtered before compilation (they
+    // can't whitelist anything under the anti-join semantics either).
+    val df = Seq(
+      TokenRow("ok", Array(1), 1, "A"),
+      TokenRow("bad", Array(1), 1, "nope")).toDF
+    val dimWithNull = Seq(Some("A"), Some("N"), Some("R"), None)
+      .toDF("allowed_source")
+    val v = Validator.referentialViolations(df,
+      ReferentialRule("ref_source", "source", "allowed_sources"), dimWithNull)
+    assert(v.select("doc_id").as[String].collect().toSet === Set("bad"))
+  }
+
   test("big-dimension referential: shuffle join, never broadcast") {
     // dimension too big to broadcast in production: the merge hint must pin
     // a sort-merge join regardless of the optimizer's size estimate
