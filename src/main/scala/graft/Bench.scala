@@ -66,16 +66,28 @@ object Bench {
     // (observed: a left join's right subtree eliminated entirely under
     // count()), which would fake the numbers.
     // a query that fails to plan or run is reported as -1, never as a
-    // (near-zero) wall time — a regression must not masquerade as a speedup
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (ok, sec) = timed {
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+    // (near-zero) wall time — a regression must not masquerade as a speedup.
+    // BEST OF TWO runs per query: single-shot times swing 2-4× with
+    // JIT/page-cache warmth in one shared JVM (round-3's artifact reported
+    // phantom per-query regressions whose best-of-3 full pass got FASTER);
+    // the second run of a failed query is skipped.
+    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): Double = {
+        val (ok, sec) = timed {
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
         }
+        if (ok) sec else -1.0
       }
-      name -> (if (ok) sec else -1.0)
+      val t1 = once()
+      val t2 = if (t1 < 0) t1 else once()
+      name -> Seq(t1, t2)
+    }
+    val results = runs.map { case (name, ts) =>
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     // authoritative metric: validated sequences/sec over the full pass.
     // Warm-up once (JIT + token-table materialization), then best of 3 —
@@ -88,9 +100,14 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // both raw runs per query, so the artifact documents the spread the
+    // best-of-2 collapses
+    val qruns = runs.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + samples.map(_._2).sum
     val sampleStr = samples.map(_._2).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","full_pass_sec":$passSec,"full_pass_samples":$sampleStr,"rows":$rows,"validated_seq_per_sec":$throughput,"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_runs":$qruns,"sf":"$sfDir","full_pass_sec":$passSec,"full_pass_samples":$sampleStr,"rows":$rows,"validated_seq_per_sec":$throughput,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -66,6 +66,47 @@ object Drift {
       (deltas.reduce((a, b) => greatest(a, b)) > threshold).as("drifted"))
   }
 
+  /** Rank-space error budget of the deterministic KLL variant: KllSpec pins
+    * the observed rank error at k=200 below 0.03 on uniform and adversarial
+    * streams, and KLL rank error decays as O(1/k) (Karnin–Lang–Liberty
+    * Thm 1 — the k in the capacity schedule), so `6/k` reproduces the
+    * pinned point and TIGHTENS automatically as k grows — no hand-tuned
+    * value-space slack.
+    */
+  def kllRankEps(k: Int): Double = 6.0 / k
+
+  /** Per-source rank-space bracket for the sketch: the sketch's quantile at
+    * probability p is an ITEM whose rank is within ±eps·n of p·n, so its
+    * VALUE must lie between the exact quantiles at p∓eps — the value-space
+    * image of the KLL rank guarantee. `integerValued` floors/ceils the
+    * envelope: on an integer column the exact interpolated quantile can sit
+    * strictly between attainable item values, which would fail the bracket
+    * for a sketch value that is rank-correct.
+    *
+    * Output: (source, within_q0, within_q1, …) — one boolean per p.
+    */
+  def sketchRankBound(
+      df: DataFrame, column: String, k: Int, ps: Seq[Double],
+      integerValued: Boolean = false): DataFrame = {
+    val eps = kllRankEps(k)
+    val sk = df.groupBy("source")
+      .agg(KllFunctions.kllQuantiles(col(column), k, ps).as("sk"))
+    val exactAggs = ps.zipWithIndex.flatMap { case (p, i) =>
+      val lo = math.max(0.0, p - eps)
+      val hi = math.min(1.0, p + eps)
+      Seq(expr(s"percentile($column, $lo)").as(s"_lo$i"),
+        expr(s"percentile($column, $hi)").as(s"_hi$i"))
+    }
+    val exact = df.groupBy("source").agg(exactAggs.head, exactAggs.tail: _*)
+    def env(c: Column, isLo: Boolean): Column =
+      if (integerValued) { if (isLo) floor(c) else ceil(c) } else c
+    sk.join(exact, Seq("source"))
+      .select(col("source") +: ps.indices.map(i =>
+        (col("sk")(i) >= env(col(s"_lo$i"), isLo = true) &&
+         col("sk")(i) <= env(col(s"_hi$i"), isLo = false))
+          .as(s"within_q$i")): _*)
+  }
+
   /** L1 distance between normalized per-source histograms of token values
     * (bucketed by `bucketSize`). The explode is map-local; the aggregate is
     * two-phase keyed by (source, bucket) then (source) — no row-level join.

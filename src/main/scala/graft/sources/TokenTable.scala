@@ -110,6 +110,32 @@ object TokenTable {
     spark.read.parquet(dir)
   }
 
+  /** WIDENED token table for high-cardinality routing: `source` gains an
+    * okey-derived bucket suffix (`A` → `A_17`), turning the 4-source
+    * fixture into a `4 × nSets` source domain — the shape an 827-profile
+    * per-code dispatch actually sees. MATERIALIZED (not a `withColumn`
+    * view): the routed gates filter on `source`, and a computed column can
+    * never reach parquet row-group stats or partition pruning — the stored
+    * column is the 100 TB-correct layout, and the wide specs/bench stop
+    * re-deriving the concat per scan.
+    */
+  def tokensWide(spark: SparkSession, sfDir: String, nSets: Int): DataFrame = synchronized {
+    val dir =
+      s"$cacheBase/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_wide${nSets}_v2"
+    if (!Fs.successExists(spark, dir)) {
+      val t = tokens(spark, sfDir).withColumn("source",
+        concat(col("source"), lit("_"), (col("okey") % nSets).cast("string")))
+      // no partitionBy: thousands of wide sources × small fixture would mean
+      // thousands of tiny files; row-group stats on the stored column still
+      // serve the gates
+      t.repartition(32)
+        .write.mode("overwrite")
+        .option("parquet.block.size", (8L * 1024 * 1024).toString)
+        .parquet(dir)
+    }
+    spark.read.parquet(dir)
+  }
+
   /** Token view over an arbitrary lineitem slice (drift baselines carve
     * deterministic sub-snapshots by filtering the scan first).
     */

@@ -73,12 +73,21 @@ object StreamingValidation {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (docId: String, rows: Iterator[(String, String)],
          state: GroupState[(Long, String)]) => {
-          val batch = rows.toSeq
+          // fold the iterator — count and min don't need the key's whole
+          // micro-batch co-resident in memory (a hot key's rows can be
+          // arbitrarily many, and exactly when streaming uniqueness matters)
           val (prevCnt, prevMin) = state.getOption.getOrElse((0L, null: String))
-          val total = prevCnt + batch.size
-          val minSrc = (Option(prevMin) ++ batch.map(_._2)).min
+          var batchN = 0L
+          var minSrc = prevMin
+          rows.foreach { case (_, src) =>
+            batchN += 1
+            // null sources count but never win the min (batch `min` skips
+            // nulls)
+            if (src != null && (minSrc == null || src < minSrc)) minSrc = src
+          }
+          val total = prevCnt + batchN
           state.update((total, minSrc))
-          if (total > 1 && batch.nonEmpty)
+          if (total > 1 && batchN > 0)
             Iterator(DetailedViolation(docId, "unique_doc_id",
               s"doc_id occurs $total times", "warning", minSrc))
           else Iterator.empty
@@ -108,7 +117,17 @@ object StreamingValidation {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    finalEmissions(spark.table(name))
+  }
+
+  /** Reduce a (possibly multi-emission) stateful-uniqueness output to the
+    * FINAL row per key: the running count strictly increases per emission,
+    * so max(cnt) is the key's total and the source carried at max(cnt) is
+    * the global min source — together exactly the batch
+    * [[Validator.uniqueViolations]] row.
+    */
+  def finalEmissions(emitted: DataFrame): DataFrame =
+    emitted
       .select(col("doc_id"),
         regexp_extract(col("detail"), "occurs ([0-9]+) times", 1)
           .cast("bigint").as("cnt"),
@@ -116,6 +135,40 @@ object StreamingValidation {
       .groupBy("doc_id")
       .agg(max(col("cnt")).as("cnt"),
         max_by(col("source"), col("cnt")).as("source"))
+
+  /** Stateful streaming uniqueness with the PRODUCTION sink shape: a
+    * parquet FILE sink plus an explicit `checkpointLocation` (the memory
+    * sink above is a driver-collected oracle harness). Safe to invoke
+    * repeatedly with the same checkpoint/output dirs — each invocation is a
+    * RESTART: Trigger.AvailableNow processes only source files not yet
+    * committed in the checkpoint, with per-key (count, minSource) state
+    * restored from the state store, and appends its emissions to the sink
+    * (exactly-once via the sink's `_spark_metadata` log). Returns the final
+    * per-key rows over everything emitted so far; StreamingSpec asserts a
+    * kill-between-batches restart converges to the batch duplicate set.
+    */
+  def runUniqueToFileSink(
+      spark: SparkSession, path: String, checkpointDir: String,
+      outDir: String, maxFilesPerTrigger: Int = 4): DataFrame = {
+    val stream = spark.readStream
+      .schema(tokenSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+    val q = uniqueViolationStream(stream).toDF().writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // explicit schema: a violation-free first leg commits zero data files
+    // and schema inference would fail on the metadata-only directory
+    val emittedSchema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("rule_id", StringType),
+      StructField("detail", StringType), StructField("severity", StringType),
+      StructField("source", StringType)))
+    finalEmissions(spark.read.schema(emittedSchema).parquet(outDir))
   }
 
   /** One-shot streaming run over a (partitioned) parquet token table using

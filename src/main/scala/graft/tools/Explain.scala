@@ -61,6 +61,23 @@ object Explain {
       timed("x_stats3")({ graft.engine.StatsOps.columnStats(stok).collect(); 1L })
       timed("x_drift")({ graft.engine.Drift.sketchQuantileDrift(
         stok, sbase, "n_tok", 200, Seq(0.5, 0.95), 2.0).collect(); 1L })
+      // routed/wide dispatch at reference cardinality (400 sets): the
+      // heaviest dispatch paths get their own 2c→8c component profile so a
+      // routing-driven scaling regression is visible on its own row, not
+      // only in the aggregate (x2 rows = JIT-warm repeats)
+      val wideN = 400
+      val wideRouting = graft.rules.RuleSetLoader.parse(
+        graft.Queries.wideRoutingJson(wideN))
+      val wtok = stok.withColumn("source",
+        concat(col("source"), lit("_"), (col("okey") % wideN).cast("string")))
+      timed("x_routed_wide")(Validator.violationsRoutedWide(
+        wtok, wideRouting, dims).count())
+      timed("x_routed_wide2")(Validator.violationsRoutedWide(
+        wtok, wideRouting, dims).count())
+      timed("x_routed_gated")(Validator.violationsRouted(
+        wtok, wideRouting, dims).count())
+      timed("x_routed_gated2")(Validator.violationsRouted(
+        wtok, wideRouting, dims).count())
     }
     if (args.contains("--minhash")) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -38,6 +38,22 @@ class DriftSpec extends SparkSpec {
     assert(math.abs(s.getAs[Double]("max_delta") - 1000.0) < 200.0)
   }
 
+  test("rank-space sketch bound holds, and tightens with k") {
+    // the bracket from the KLL rank guarantee (eps = 6/k): the sketch's
+    // quantile value must lie between the exact quantiles at p∓eps — true
+    // at the production k and at a coarser k (wider bracket)
+    val df = mk("A", 1 to 5000).toDF.unionByName(mk("N", 500 to 4000).toDF)
+    for (k <- Seq(32, 200)) {
+      val rows = Drift.sketchRankBound(df, "n_tok", k, Seq(0.5, 0.95),
+        integerValued = true).collect()
+      assert(rows.length === 2)
+      assert(rows.forall(r => r.getBoolean(1) && r.getBoolean(2)),
+        s"k=$k bracket violated")
+    }
+    // eps really narrows as k grows
+    assert(Drift.kllRankEps(2000) < Drift.kllRankEps(200))
+  }
+
   test("token histogram drift: zero on identical, positive on disjoint") {
     val a = Seq(TokenRow("x", Array(10, 20, 30), 3, "A")).toDF
     val b = Seq(TokenRow("y", Array(5010, 5020, 5030), 3, "A")).toDF

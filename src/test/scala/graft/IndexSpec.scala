@@ -132,6 +132,45 @@ class IndexSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("index compaction shrinks append-bloated buckets; probes unchanged") {
+    // two appends leave up to 3 files per centroid directory; on an object
+    // store every extra file is an extra GET per probe. Compaction must cut
+    // the file count without changing any probe result.
+    def wipe(tag: String): Unit = {
+      val d = new java.io.File(s"/tmp/graft_vec_index/ivf_${tag}_c8_k0")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      if (d.exists()) rm(d)
+    }
+    wipe("speccompA")
+    val sliceA = embs.where(col("vec_id") < 150)
+    val r1 = embs.where(col("vec_id") >= 150 && col("vec_id") < 300)
+    val r2 = embs.where(col("vec_id") >= 300)
+    val (idx, cent) = VectorIndex.ivf(spark, sliceA, "speccompA", 8)
+    VectorIndex.ivfAppend(spark, idx, cent, r1)
+    VectorIndex.ivfAppend(spark, idx, cent, r2)
+    def parquetFiles(dir: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(dir))
+    }
+    val before = parquetFiles(idx)
+    val pre = VectorIndex.ivfTopK(spark, idx, cent, qv, 10, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    val nCompacted = VectorIndex.compact(spark, idx, maxFiles = 1)
+    assert(nCompacted > 0, "appends produced no multi-file bucket?")
+    val after = parquetFiles(idx)
+    assert(after < before, s"compaction did not shrink: $before -> $after")
+    val post = VectorIndex.ivfTopK(spark, idx, cent, qv, 10, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(post === pre)
+    assert(post.nonEmpty)
+    // idempotence: nothing left over the threshold
+    assert(VectorIndex.compact(spark, idx, maxFiles = 1) === 0)
+  }
+
   test("one Lloyd iteration balances the centroid lists") {
     val (idx0, _) = VectorIndex.ivf(spark, embs, "spec0001", 8)
     val (idx1, _) = VectorIndex.ivf(spark, embs, "spec0001", 8, kmeansIters = 1)

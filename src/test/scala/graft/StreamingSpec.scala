@@ -130,6 +130,41 @@ class StreamingSpec extends SparkSpec {
     assert(seen.toSeq === Seq(("k", "doc_id occurs 2 times")))
   }
 
+  test("stateful uniqueness: file sink + checkpoint restart equals batch") {
+    // the PRODUCTION shape (the memory-sink tests above are driver-collected
+    // harnesses): parquet file sink + explicit checkpointLocation, killed
+    // after the first batch of files and RESTARTED when more arrive — the
+    // restored state store must carry (count, minSource) across the restart
+    // so the final emissions equal the batch duplicate set exactly
+    val s = spark
+    import s.implicits._
+    import graft.model.TokenRow
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-stream-fsink").toString
+    val in = s"$base/in"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    Seq(TokenRow("dup", Array(1), 1, "N"), TokenRow("a", Array(1), 1, "A"))
+      .toDF.repartition(2).write.mode("append").parquet(in)
+    val leg1 = StreamingValidation.runUniqueToFileSink(
+      spark, in, ckpt, out, maxFilesPerTrigger = 1)
+    assert(leg1.count() === 0) // 'dup' seen once: state built, nothing fires
+    // the second half arrives after the kill: 'dup' recurs (cross-restart
+    // duplicate — only restored state can see it) plus a new same-leg pair
+    Seq(TokenRow("dup", Array(2), 1, "A"), TokenRow("c", Array(3), 1, "R"),
+        TokenRow("c", Array(4), 1, "A"))
+      .toDF.repartition(2).write.mode("append").parquet(in)
+    val fin = StreamingValidation.runUniqueToFileSink(
+        spark, in, ckpt, out, maxFilesPerTrigger = 1)
+      .as[(String, Long, String)].collect().toSet
+    val batch = graft.engine.Validator.uniqueViolations(
+        spark.read.parquet(in), graft.rules.UniqueRule("u", "doc_id"))
+      .select(col("doc_id"),
+        regexp_extract(col("detail"), "occurs ([0-9]+) times", 1)
+          .cast("bigint"), col("source"))
+      .as[(String, Long, String)].collect().toSet
+    assert(fin === batch)
+    assert(fin === Set(("dup", 2L, "A"), ("c", 2L, "A")))
+  }
+
   test("windowed sketch drift emits closed windows with correct verdicts") {
     val s = spark
     import s.implicits._
