@@ -746,6 +746,29 @@ object Queries {
         (col("nf") >= col("n_exact_pairs") * 0.95).as("recall_ok"))
   }
 
+  /** Duplicate-CLUSTER resolution over the MinHash near-dup pairs
+    * (new in r4): near-dup similarity is not transitive, so the pair set
+    * must be closed into connected components before "keep one doc per
+    * cluster" is well-defined. cluster_id = min doc_id of the component
+    * (canonical survivor); keep marks it. The oracle recomputes the exact
+    * Jaccard pairs and closes them with a recursive reachability CTE.
+    */
+  def dDupClusters(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.connectedComponents(
+        DedupOps.minHashDuplicates(docs(spark, dir), threshold = 0.5))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+      .orderBy("doc_id")
+
+  /** Deterministic train/valid/test assignment (new in r4): md5-bucket of
+    * doc_id — stable across runs/layouts/engines, never rand() (which
+    * breaks task-retry determinism); the oracle recomputes every bucket.
+    */
+  def dSplitAssign(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SampleOps.assignSplits(docs(spark, dir))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy("doc_id")
+
   /** Quality ratio family (length/punct/stopword — the training-pipeline
     * quality-signal set beyond TTR).
     */
@@ -835,6 +858,8 @@ object Queries {
     "m_media_features" -> (mMediaFeatures _),
     "m_media_resize" -> (mMediaResize _),
     "d_quality_ratios" -> (dQualityRatios _),
+    "d_dup_clusters" -> (dDupClusters _),
+    "d_split_assign" -> (dSplitAssign _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -1621,6 +1646,40 @@ object Queries {
          |WHERE a.doc_id < 500 AND b.doc_id < 500
          |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |        len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
+
+    // connected components over the exact near-dup pairs: recursive
+    // reachability closure, cluster id = component min (labels propagate
+    // along symmetric edges until the UNION-dedup'd fixpoint)
+    "d_dup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |p AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(a.sh || b.sh)) >= 0.5),
+         |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+         |reach AS (
+         |  SELECT a AS node, a AS label FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT e2.b AS node, r.label FROM reach r JOIN e e2 ON e2.a = r.node
+         |)
+         |SELECT node AS doc_id, min(label) AS cluster_id,
+         |       node = min(label) AS keep
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // md5-derived bucket is engine-independent: first 8 hex chars as an
+    // integer mod 100 (Spark computes conv(substring(md5(...),1,8),16,10))
+    "d_split_assign" ->
+      """SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'valid'
+        |            ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |           AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // full SimHash replication INCLUDING the engine's candidate topology:
     // md5-derived 60-bit word hash, per-bit ±1 sums, 4 chunk-key buckets

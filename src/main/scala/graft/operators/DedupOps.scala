@@ -349,4 +349,66 @@ object DedupOps {
         SimilarityOps.cosine(col("emb_a"), col("emb_b")).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  // ---- duplicate-cluster resolution --------------------------------------
+
+  /** Connected components over an undirected near-duplicate PAIR table —
+    * the resolution step every dedup pipeline needs after candidate
+    * generation: near-duplicate similarity is NOT transitive, so pairs must
+    * be closed into clusters before "keep one document per cluster" is
+    * well-defined (exact dedup gets this for free — equal fingerprints ARE
+    * an equivalence class — near-dup pairs do not).
+    *
+    * Algorithm: iterative min-label propagation (the hash-to-min shape of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14 — cf. PAPERS.md): every node starts labeled with itself; each
+    * round joins labels across edges and keeps the per-node min; fixpoint
+    * when no label changes. Rounds = O(cluster diameter) — near-dup
+    * clusters are shallow (most are cliques from a shared bucket), so this
+    * converges in 2-3 rounds where the worst case is a path graph. Each
+    * round is one shuffle of the (node, label) frame keyed by node — the
+    * pair table is orders of magnitude smaller than the corpus, so the loop
+    * costs nothing against the candidate-generation scan. The driver-side
+    * convergence check is one count per round (explicit control flow, same
+    * class as k-means).
+    *
+    * Output: (doc_id, cluster_id) for every doc appearing in a pair, with
+    * cluster_id = min doc_id of its component (deterministic canonical
+    * representative).
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIters: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // localCheckpoint (eager), not persist: an iterative frame must CUT its
+    // lineage each round or the logical plan embeds the whole union/join
+    // history — O(rounds) plan growth, quadratic re-analysis cost, and a
+    // lost-partition recompute that replays every round from the scan.
+    // Truncation trades that for executor-local storage of a (node, label)
+    // frame, which is pair-table-sized.
+    val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("label"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(
+          labels.withColumnRenamed("label", "_old"), Seq("node"))
+        .where(col("label") =!= col("_old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
 }

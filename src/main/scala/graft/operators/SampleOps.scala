@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus splitting and sampling.
+  *
+  * Assignment is a PURE FUNCTION of the document id (an md5-derived
+  * bucket), never `rand()`: a training pipeline must be able to recompute
+  * which split any document landed in — across reruns, cluster layouts,
+  * engines, and years — and `rand()` also breaks Spark's task-retry
+  * determinism (a recomputed partition would re-roll its rows). The md5
+  * bucket is reproducible bit-for-bit in any engine with an md5 function
+  * (the DuckDB oracle recomputes it), and is independent of row order and
+  * partitioning by construction.
+  *
+  * Scale shape: one codegen'd projection per row, no shuffle, no state —
+  * the split of a 100 TB corpus costs one scan (and composes with any
+  * other per-row work in the same pass).
+  */
+object SampleOps {
+
+  /** Stable bucket in [0, nBuckets) from the id's md5: the first 8 hex
+    * chars as an integer, mod nBuckets. 32 bits of hash for ≤10^4 buckets
+    * keeps the modulo bias below 10^-5.
+    */
+  def hashBucket(id: Column, nBuckets: Int): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("bigint"), lit(nBuckets))
+
+  /** Assign train/valid/test splits by hash bucket out of 100:
+    * [0, trainPct) → train, [trainPct, trainPct+validPct) → valid,
+    * rest → test. Adds `bucket` and `split` columns.
+    */
+  def assignSplits(df: DataFrame, idCol: String = "doc_id",
+      trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    require(trainPct + validPct <= 100, "split percentages exceed 100")
+    df.withColumn("bucket", hashBucket(col(idCol), 100))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + validPct, "valid")
+          .otherwise("test"))
+  }
+
+  /** Deterministic `pct`-percent sample: the same documents are selected on
+    * every run over any layout (unlike `df.sample`, which seeds per
+    * partition). The predicate pushes to the scan like any other filter.
+    */
+  def sampleFraction(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.where(hashBucket(col(idCol), 100) < pct)
+}

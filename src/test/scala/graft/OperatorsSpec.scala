@@ -172,6 +172,52 @@ class DedupOpsSpec extends SparkSpec {
     assert(got === Set((10L, 1L, 4L))) // (doc, n_eval_hits, max_shared)
   }
 
+  test("connected components: path graph, forest, and singletons converge") {
+    val s = spark
+    import s.implicits._
+    // a 5-node PATH (worst-case diameter for label propagation), a separate
+    // triangle, and an isolated pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // path → cluster 1
+      (10L, 11L), (11L, 12L), (10L, 12L),     // triangle → cluster 10
+      (20L, 21L)                              // pair → cluster 20
+    ).toDF("doc_a", "doc_b")
+    val got = DedupOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    // invariant under repartitioning/order (deterministic min labels)
+    val got2 = DedupOps.connectedComponents(
+        pairs.orderBy(col("doc_b").desc).repartition(7))
+      .as[(Long, Long)].collect().toMap
+    assert(got2 === got)
+  }
+
+  test("deterministic split: layout-invariant, partitions the corpus") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.range(0, 1000).select(col("id").as("doc_id"))
+    val a = SampleOps.assignSplits(docs)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = SampleOps.assignSplits(docs.repartition(13).orderBy(rand(42)))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a === b) // rand() would fail this
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet === Set("train", "valid", "test"))
+    // 80/10/10 within hash tolerance on 1000 ids
+    assert(math.abs(counts("train") - 800) < 60, counts.toString)
+    assert(math.abs(counts("valid") - 100) < 40, counts.toString)
+    // sampleFraction = a prefix of the same buckets: nested subsets
+    val s10 = SampleOps.sampleFraction(docs, "doc_id", 10)
+      .as[Long].collect().toSet
+    val s20 = SampleOps.sampleFraction(docs, "doc_id", 20)
+      .as[Long].collect().toSet
+    assert(s10.subsetOf(s20))
+    assert(s10.nonEmpty && s20.size > s10.size)
+  }
+
   test("topTokens: frequency order, deterministic ties, null arrays skipped") {
     val t = Seq(
       ("a", Array(1, 1, 2, 3), 4, "S"),
