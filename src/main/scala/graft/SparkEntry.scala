@@ -746,6 +746,20 @@ object Queries {
         (col("nf") >= col("n_exact_pairs") * 0.95).as("recall_ok"))
   }
 
+  /** Repetition signals (new in r4): duplicate word / 2-gram fractions —
+    * the Gopher-family boilerplate-and-loop drop signal; exact arithmetic,
+    * oracle-recomputed gram for gram.
+    */
+  def dRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(docs(spark, dir)).orderBy("doc_id")
+
+  /** Composed quality filter (new in r4): keep/drop verdict + first
+    * failing reason from word-count, mean-word-length, and symbol-share
+    * gates — the applied form of the quality-signal family.
+    */
+  def dQualityFilter(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qualityFilter(docs(spark, dir)).orderBy("doc_id")
+
   /** Duplicate-CLUSTER resolution over the MinHash near-dup pairs
     * (new in r4): near-dup similarity is not transitive, so the pair set
     * must be closed into connected components before "keep one doc per
@@ -860,6 +874,8 @@ object Queries {
     "d_quality_ratios" -> (dQualityRatios _),
     "d_dup_clusters" -> (dDupClusters _),
     "d_split_assign" -> (dSplitAssign _),
+    "d_repetition" -> (dRepetition _),
+    "d_quality_filter" -> (dQualityFilter _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -1666,6 +1682,59 @@ object Queries {
          |SELECT node AS doc_id, min(label) AS cluster_id,
          |       node = min(label) AS keep
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // duplicate word / 2-gram fractions, gram construction replicated
+    // (including the <2-word whole-text fallback gram)
+    "d_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, ws,
+        |         CASE WHEN len(ws) >= 2
+        |              THEN list_transform(range(1, len(ws)),
+        |                     i -> ws[i] || ' ' || ws[i+1])
+        |              ELSE [coalesce(array_to_string(ws, ' '), '')] END AS g2
+        |  FROM w)
+        |SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+        |  round(CASE WHEN len(ws) > 0
+        |    THEN 1 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+        |    ELSE 0.0 END, 6) AS dup_word_frac,
+        |  round(CASE WHEN len(g2) > 0
+        |    THEN 1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+        |    ELSE 0.0 END, 6) AS dup_2gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // same integer arithmetic + single double divisions; thresholds cast to
+    // DOUBLE (a bare DuckDB decimal literal would compare in decimal)
+    "d_quality_filter" ->
+      """WITH b AS (
+        |  SELECT doc_id, length(text) AS chars,
+        |         length(text) - length(replace(text, ' ', '')) AS spaces,
+        |         len(list_filter(string_split(text,' '), x -> x <> '')) AS nw,
+        |         length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS punct
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, nw,
+        |         CASE WHEN nw > 0 THEN CAST(chars - spaces AS DOUBLE) / nw
+        |              ELSE 0.0 END AS mean_len,
+        |         CASE WHEN chars > 0 THEN CAST(punct AS DOUBLE) / chars
+        |              ELSE 0.0 END AS pr
+        |  FROM b),
+        |r AS (
+        |  SELECT doc_id, nw, mean_len, pr,
+        |         CASE WHEN nw < 10 THEN 'too_short'
+        |              WHEN nw > 100000 THEN 'too_long'
+        |              WHEN mean_len < CAST(3.0 AS DOUBLE) THEN 'short_words'
+        |              WHEN mean_len > CAST(12.0 AS DOUBLE) THEN 'long_words'
+        |              WHEN pr > CAST(0.30 AS DOUBLE) THEN 'high_punct'
+        |              ELSE 'ok' END AS reason
+        |  FROM m)
+        |SELECT doc_id, CAST(nw AS INT) AS n_words,
+        |       round(mean_len, 6) AS mean_word_len,
+        |       round(pr, 6) AS punct_ratio,
+        |       reason, reason = 'ok' AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // md5-derived bucket is engine-independent: first 8 hex chars as an
     // integer mod 100 (Spark computes conv(substring(md5(...),1,8),16,10))

