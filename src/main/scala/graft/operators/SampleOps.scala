@@ -44,7 +44,11 @@ object SampleOps {
 
   /** Deterministic `pct`-percent sample: the same documents are selected on
     * every run over any layout (unlike `df.sample`, which seeds per
-    * partition). The predicate pushes to the scan like any other filter.
+    * partition). The predicate evaluates inside the scan stage (codegen'd,
+    * rows dropped before any shuffle) — but being a hash of the id it can
+    * never prune row groups; to make a recurring sample I/O-proportional,
+    * store the table bucketed/partitioned by `hashBucket` and the filter
+    * becomes a directory prune.
     */
   def sampleFraction(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.where(hashBucket(col(idCol), 100) < pct)

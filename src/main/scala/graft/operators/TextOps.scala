@@ -225,25 +225,37 @@ object TextOps {
       minWords: Int = 10, maxWords: Int = 100000,
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 12.0,
       maxPunctRatio: Double = 0.30): DataFrame = {
+    // word count via regexp_count("[^ ]+") — the same value as
+    // size(words(text)) (non-space runs), but codegen'd: `words` is a
+    // higher-order `filter`, which is CodegenFallback AND gets no
+    // common-subexpression elimination — inlined through the reason
+    // cascade it evaluated split+filter ~12× per row and barred the whole
+    // scan stage from whole-stage codegen (PlanAuditSpec pins the fixed
+    // shape). Signals are STAGED so each is computed once and the derived
+    // cascade references plain columns.
     val chars = length(col("text"))
-    val spaces = chars - length(regexp_replace(col("text"), " ", ""))
-    val nWords = size(words(col("text")))
-    val meanLen = when(nWords > 0,
-      (chars - spaces).cast("double") / nWords.cast("double")).otherwise(0.0)
-    val punct = chars -
-      length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))
-    val punctRatio = when(chars > 0,
-      punct.cast("double") / chars.cast("double")).otherwise(0.0)
+    val base = docs.select(col("doc_id"), chars.as("_chars"),
+      (chars - length(regexp_replace(col("text"), " ", ""))).as("_spaces"),
+      regexp_count(col("text"), lit("[^ ]+")).cast("int").as("n_words"),
+      (chars - length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", "")))
+        .as("_punct"))
+    val staged = base.select(col("doc_id"), col("n_words"),
+      when(col("n_words") > 0,
+        (col("_chars") - col("_spaces")).cast("double")
+          / col("n_words").cast("double")).otherwise(0.0).as("_mwl"),
+      when(col("_chars") > 0,
+        col("_punct").cast("double") / col("_chars").cast("double"))
+        .otherwise(0.0).as("_pr"))
     val reason =
-      when(nWords < minWords, "too_short")
-        .when(nWords > maxWords, "too_long")
-        .when(meanLen < minMeanWordLen, "short_words")
-        .when(meanLen > maxMeanWordLen, "long_words")
-        .when(punctRatio > maxPunctRatio, "high_punct")
+      when(col("n_words") < minWords, "too_short")
+        .when(col("n_words") > maxWords, "too_long")
+        .when(col("_mwl") < minMeanWordLen, "short_words")
+        .when(col("_mwl") > maxMeanWordLen, "long_words")
+        .when(col("_pr") > maxPunctRatio, "high_punct")
         .otherwise("ok")
-    docs.select(col("doc_id"), nWords.as("n_words"),
-      round(meanLen, 6).as("mean_word_len"),
-      round(punctRatio, 6).as("punct_ratio"),
+    staged.select(col("doc_id"), col("n_words"),
+      round(col("_mwl"), 6).as("mean_word_len"),
+      round(col("_pr"), 6).as("punct_ratio"),
       reason.as("reason"), (reason === "ok").as("keep"))
   }
 

@@ -19,4 +19,25 @@ class PlanAuditSpec extends SparkSpec {
     // routed: one row-rule scan + one per dataset-rule slice
     assert(scans(Queries.vRoutedMatrix(spark, sf001)) <= 6)
   }
+
+  test("per-row pipeline operators are single-scan; filter stays codegen'd") {
+    assert(scans(Queries.dQualityFilter(spark, sf001)) === 1)
+    assert(scans(Queries.dRepetition(spark, sf001)) === 1)
+    assert(scans(Queries.dSplitAssign(spark, sf001)) === 1)
+    // the quality filter's gates are pure arithmetic/regex — the scan stage
+    // must be whole-stage compiled (a single HOF would bar it)
+    val qf = Queries.dQualityFilter(spark, sf001)
+    qf.collect()
+    val finalPlan = qf.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // the `*(n)` prefix is the one-line-tree marker for a WholeStageCodegen
+    // stage; the scan-side projection chain must carry it (a single HOF —
+    // the bug this pins — drops the whole stage to interpreted eval)
+    val planStr = finalPlan.toString
+    assert(planStr.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("Project")), planStr.take(1500))
+  }
 }
