@@ -38,15 +38,20 @@ object TextOps {
     * arithmetic only (single divisions of exact ints → engine-portable).
     */
   def qualityScores(docs: DataFrame): DataFrame = {
-    val ws = words(col("text"))
-    val nWords = size(ws).cast("double")
-    val nDistinct = size(array_distinct(ws)).cast("double")
-    val ttr = when(nWords > 0, nDistinct / nWords).otherwise(0.0)
+    // `words` is an interpreted higher-order filter with NO
+    // common-subexpression elimination: stage it (and the counts) through
+    // their own projections so split+filter runs ONCE per row, not once
+    // per reference, and the derived arithmetic stays codegen'd.
+    val counts = docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_distinct_words"))
+    val nWords = col("n_words").cast("double")
+    val ttr = when(nWords > 0,
+      col("n_distinct_words").cast("double") / nWords).otherwise(0.0)
     val lenScore = least(lit(1.0), nWords / 100.0)
-    docs.select(
-      col("doc_id"),
-      size(ws).as("n_words"),
-      size(array_distinct(ws)).as("n_distinct_words"),
+    counts.select(
+      col("doc_id"), col("n_words"), col("n_distinct_words"),
       ttr.as("ttr"),
       lenScore.as("len_score"),
       (lenScore * ttr).as("quality"))

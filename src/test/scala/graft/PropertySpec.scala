@@ -137,6 +137,76 @@ class PropertySpec extends AnyFunSuite {
     assert(spread > 1, s"hot key landed on $spread salt bucket(s)")
   }
 
+  test("cluster routing compiler equals gated dispatch on random configs") {
+    // equivalence fuzz for Validator.violationsRoutedWide: random rule-set
+    // families — a few shapes (signature clusters), each instantiated by
+    // several sets with fresh range bounds — over random routings and
+    // random token tables must produce EXACTLY the gated path's rows.
+    // Every case reproducible from its seed.
+    import graft.rules._
+    val s = spark
+    import s.implicits._
+    val sources = (0 until 8).map(i => s"s$i")
+
+    def shapeRule(kind: Int, seedBase: Long, setIdx: Int): Rule = kind match {
+      case 0 => NotNullRule("nn", "tokens", severity = "fatal")
+      case 1 => LengthConsistencyRule("lc", "tokens", "n_tok")
+      case 2 =>
+        // bounds vary per SET (parameterized within the cluster)
+        val lo = ((seedBase + setIdx) % 3).toInt
+        val hi = 4 + ((seedBase + 2 * setIdx) % 5).toInt
+        RangeRule("rng", "n_tok", lo, hi, severity = "warning")
+      case 3 => TokenBoundsRule("tb", "tokens", 0, vocab)
+      case 4 => UniqueRule("uq", "doc_id", severity = "warning")
+      case _ => ReferentialRule("rf", "source", "allowed_sources")
+    }
+
+    val genShape: Gen[List[Int]] = for {
+      n <- Gen.chooseNum(1, 4)
+      kinds <- Gen.pick(n, 0 to 5)
+    } yield kinds.toList.sorted
+
+    val genConfig: Gen[(Int, List[List[Int]], Map[String, Int])] = for {
+      nShapes <- Gen.chooseNum(1, 3)
+      shapes <- Gen.listOfN(nShapes, genShape)
+      nSets <- Gen.chooseNum(2, 8)
+      routed <- Gen.sequence[List[Option[Int]], Option[Int]](
+        sources.toList.map(_ => Gen.option(Gen.chooseNum(0, nSets - 1))))
+    } yield (nSets, shapes,
+      sources.zip(routed).collect { case (src, Some(x)) => src -> x }.toMap)
+
+    val genTokRow: Gen[TokenRow] = for {
+      id <- Gen.chooseNum(0, 25)
+      src <- Gen.oneOf(sources)
+      n <- Gen.chooseNum(0, 6)
+      declared <- Gen.oneOf(n, n + 1)
+      toks <- Gen.option(Gen.listOfN(n, Gen.chooseNum(-1, vocab + 3)))
+    } yield TokenRow(s"d$id", toks.map(_.toArray).orNull, declared, src)
+
+    (1 to 6).foreach { i =>
+      val seed = 7000L + i
+      val (nSets, shapes, routeIdx) =
+        genConfig.pureApply(Gen.Parameters.default, Seed(seed))
+      val rows = Gen.chooseNum(5, 40).flatMap(Gen.listOfN(_, genTokRow))
+        .pureApply(Gen.Parameters.default, Seed(seed * 31))
+      val sets = (0 until nSets).map { si =>
+        val shape = shapes(si % shapes.length)
+        s"p$si" -> RuleSet(s"p$si", shape.map(k => shapeRule(k, seed, si)))
+      }.toMap + ("dflt" -> RuleSet("dflt",
+        Seq(NotNullRule("nn_src", "source", severity = "fatal"))))
+      val routing = RuleSetLoader.Routing(
+        sets, routeIdx.map { case (src, si) => src -> s"p$si" }, "dflt")
+      val df = s.createDataset(rows).toDF().repartition(3)
+      def rowSet(v: org.apache.spark.sql.DataFrame) =
+        v.select("doc_id", "rule_id", "detail", "severity", "source")
+          .collect().map(r => (r.getString(0), r.getString(1),
+            r.getString(2), r.getString(3), r.getString(4))).toSet
+      val wide = rowSet(Validator.violationsRoutedWide(df, routing, dims))
+      val gated = rowSet(Validator.violationsRouted(df, routing, dims))
+      assert(wide === gated, s"seed=$seed config=($nSets, $shapes, $routeIdx)")
+    }
+  }
+
   test("KLL median within rank-error bound of exact, any partitioning") {
     val s = spark
     import s.implicits._
