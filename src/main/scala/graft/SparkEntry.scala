@@ -746,6 +746,14 @@ object Queries {
         (col("nf") >= col("n_exact_pairs") * 0.95).as("recall_ok"))
   }
 
+  /** Greedy sequence packing (new in r4): per-source contiguous layout of
+    * documents into 4096-token training packs — pack-level doc counts and
+    * token mass, windows replicated exactly by the oracle.
+    */
+  def vSeqPacking(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PackOps.packSummary(tok(spark, dir), budget = 4096)
+      .orderBy("source", "pack_id")
+
   /** Repetition signals (new in r4): duplicate word / 2-gram fractions —
     * the Gopher-family boilerplate-and-loop drop signal; exact arithmetic,
     * oracle-recomputed gram for gram.
@@ -876,6 +884,7 @@ object Queries {
     "d_split_assign" -> (dSplitAssign _),
     "d_repetition" -> (dRepetition _),
     "d_quality_filter" -> (dQualityFilter _),
+    "v_seq_packing" -> (vSeqPacking _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -1682,6 +1691,21 @@ object Queries {
          |SELECT node AS doc_id, min(label) AS cluster_id,
          |       node = min(label) AS keep
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // greedy contiguous packing: identical window (same total order, same
+    // frame), floor(before/budget) in double on both engines
+    "v_seq_packing" ->
+      s"""WITH $cte,
+         |c AS (
+         |  SELECT source, doc_id, n_tok,
+         |         COALESCE(SUM(n_tok) OVER (
+         |           PARTITION BY source ORDER BY doc_id, okey, n_tok
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS before
+         |  FROM tok)
+         |SELECT source, CAST(floor(before / 4096.0) AS BIGINT) AS pack_id,
+         |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
 
     // duplicate word / 2-gram fractions, gram construction replicated
     // (including the <2-word whole-text fallback gram)

@@ -218,6 +218,36 @@ class DedupOpsSpec extends SparkSpec {
     assert(s10.nonEmpty && s20.size > s10.size)
   }
 
+  test("greedy packing: boundaries, straddle docs, per-source independence") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a1", 4, "A", 1L), ("a2", 4, "A", 2L), ("a3", 4, "A", 3L),
+      ("a4", 4, "A", 4L),
+      ("b1", 9, "N", 1L), ("b2", 3, "N", 2L)
+    ).toDF("doc_id", "n_tok", "source", "okey")
+    val asg = PackOps.packAssignments(df, budget = 10)
+      .select("source", "doc_id", "pack_id")
+      .as[(String, String, Long)].collect().toSet
+    // a4 starts at token 12 → pack 1; b2 starts at 9 (< 10) → straddles
+    // into pack 0 (first-token rule)
+    assert(asg === Set(("A", "a1", 0L), ("A", "a2", 0L), ("A", "a3", 0L),
+      ("A", "a4", 1L), ("N", "b1", 0L), ("N", "b2", 0L)))
+    val sum = PackOps.packSummary(df, budget = 10)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(sum === Set(("A", 0L, 3L, 12L), ("A", 1L, 1L, 4L),
+      ("N", 0L, 2L, 12L)))
+    // token mass conserved across packs
+    assert(sum.toSeq.map(_._4).sum === df.agg(org.apache.spark.sql
+      .functions.sum("n_tok")).head().getLong(0))
+    // layout-invariance: repartitioned/shuffled input → same assignment
+    val asg2 = PackOps.packAssignments(
+        df.repartition(5).orderBy(col("n_tok").desc), budget = 10)
+      .select("source", "doc_id", "pack_id")
+      .as[(String, String, Long)].collect().toSet
+    assert(asg2 === asg)
+  }
+
   test("topTokens: frequency order, deterministic ties, null arrays skipped") {
     val t = Seq(
       ("a", Array(1, 1, 2, 3), 4, "S"),
