@@ -103,4 +103,42 @@ object ViolationStore {
     spark.read.parquet(dir)
       .select(col("doc_id"), col("rule_id"), col("detail"), col("severity"),
         col("source").cast("string").as("source"))
+
+  /** Delete generations that are fully SUPERSEDED — every source they hold
+    * also appears in a newer generation, so [[latest]] can never select a
+    * row from them. Long-lived snapshots accumulate one `gen=` directory
+    * per resumed run (the same append-bloat the ANN indexes compact away);
+    * pruning is a pure DIRECTORY-LISTING computation — which generation
+    * wins each source is visible in the layout, no data is read. Returns
+    * the number of generations deleted.
+    */
+  def prune(spark: SparkSession, baseDir: String, snapshotId: Long): Int = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(snapDir(baseDir, snapshotId))
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return 0
+    val gens: Seq[(Long, Path, Set[String])] = fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .flatMap { s =>
+        scala.util.Try(s.getPath.getName.stripPrefix("gen=").toLong)
+          .toOption.map { g =>
+            val srcs = fs.listStatus(s.getPath)
+              .filter(c => c.isDirectory &&
+                c.getPath.getName.startsWith("source="))
+              .map(_.getPath.getName).toSet
+            (g, s.getPath, srcs)
+          }
+      }
+    val winner: Map[String, Long] = gens
+      .flatMap { case (g, _, srcs) => srcs.map(_ -> g) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    var removed = 0
+    gens.foreach { case (g, p, srcs) =>
+      if (srcs.nonEmpty && srcs.forall(src => winner(src) > g)) {
+        fs.delete(p, true)
+        removed += 1
+      }
+    }
+    removed
+  }
 }

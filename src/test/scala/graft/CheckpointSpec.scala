@@ -179,6 +179,28 @@ class CheckpointSpec extends SparkSpec {
       "report plan reads no artifacts at all?")
   }
 
+  test("violation-store prune removes only fully superseded generations") {
+    val base = Files.createTempDirectory("graft-vprune").toString + "/v"
+    def v(src: String, id: String) =
+      Seq(graft.model.DetailedViolation(id, "r", "d", "error", src)).toDF()
+    // gen1 holds A+N, gen2 re-validates N, gen3 re-validates A+N:
+    // gen1 and gen2 are fully superseded; gen3 must survive
+    graft.engine.ViolationStore.persist(
+      v("A", "x1").unionByName(v("N", "y1")), base, 9L, 1L)
+    graft.engine.ViolationStore.persist(v("N", "y2"), base, 9L, 2L)
+    graft.engine.ViolationStore.persist(
+      v("A", "x3").unionByName(v("N", "y3")), base, 9L, 3L)
+    def latestRows() = graft.engine.ViolationStore.latest(spark, base, 9L)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val before = latestRows()
+    assert(before === Set(("x3", "A"), ("y3", "N")))
+    assert(graft.engine.ViolationStore.prune(spark, base, 9L) === 2)
+    assert(latestRows() === before) // reconstruction unchanged
+    // idempotent: nothing more to remove
+    assert(graft.engine.ViolationStore.prune(spark, base, 9L) === 0)
+  }
+
   test("manifest records per-partition lineage + metrics") {
     val dir = Files.createTempDirectory("graft-manifest3").toString + "/manifest"
     ValidationRunner.runResumable(spark, fixture, ruleSet, dims, dir, 1L)
