@@ -32,16 +32,20 @@ object Bench {
     // input table itself is never cached.
     val detailed = Validator.violations(tok, ruleSet, dims)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // stats feed BOTH the stats output and the summary's per-source row
-    // counts (summaryFromCounts) — one table scan instead of two; the
-    // cached frame is O(|sources|) rows
-    val stats = StatsOps.columnStats(tok)
+    // stats feed the stats output, the summary's per-source row counts
+    // (summaryFromCounts), AND carry the drift sketch (fused KLL column) —
+    // one scan where the naive pass takes three; the cached frame is
+    // O(|sources|) rows
+    val stats = StatsOps.columnStatsWithQuantiles(tok, 200, Seq(0.5, 0.95))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       Validator.dedupIssues(detailed).collect()
       stats.collect()
       Validator.summaryFromCounts(stats, detailed).collect()
-      Drift.sketchQuantileDrift(tok, baseline, "n_tok", 200, Seq(0.5, 0.95), 2.0)
+      // drift: current side reads the CACHED sketch column; only the
+      // baseline snapshot is aggregated
+      Drift.sketchDriftFromQuantiles(stats, baseline, "n_tok",
+          200, Seq(0.5, 0.95), 2.0)
         .collect()
       tok.count()
     } finally {

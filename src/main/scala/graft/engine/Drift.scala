@@ -52,12 +52,26 @@ object Drift {
     */
   def sketchQuantileDrift(
       current: DataFrame, baseline: DataFrame, column: String,
+      k: Int, ps: Seq[Double], threshold: Double): DataFrame =
+    sketchDriftFromQuantiles(
+      current.groupBy("source")
+        .agg(KllFunctions.kllQuantiles(col(column), k, ps).as("cur_qs")),
+      baseline, column, k, ps, threshold)
+
+  /** Drift verdict from PRE-COMPUTED current-side sketch quantiles
+    * (source, cur_qs) — the fusion hook: when the pipeline already
+    * aggregated the current snapshot ([[StatsOps.columnStatsWithQuantiles]]
+    * rides the sketch on the stats scan), re-scanning it for the drift
+    * compare is a wasted full pass; only the (smaller) baseline side
+    * aggregates here.
+    */
+  def sketchDriftFromQuantiles(
+      curQs: DataFrame, baseline: DataFrame, column: String,
       k: Int, ps: Seq[Double], threshold: Double): DataFrame = {
-    def aggs(df: DataFrame, pfx: String): DataFrame =
-      df.groupBy("source")
-        .agg(KllFunctions.kllQuantiles(col(column), k, ps).as(s"${pfx}_qs"))
-    val joined = aggs(current, "cur")
-      .join(aggs(baseline, "base"), Seq("source"), "full_outer")
+    val base = baseline.groupBy("source")
+      .agg(KllFunctions.kllQuantiles(col(column), k, ps).as("base_qs"))
+    val joined = curQs.select(col("source"), col("cur_qs"))
+      .join(base, Seq("source"), "full_outer")
     val deltas = ps.indices.map(i =>
       abs(col("cur_qs")(i) - col("base_qs")(i)))
     joined.select(

@@ -41,6 +41,30 @@ object StatsOps {
     numeric.join(strings, Seq("source"))
   }
 
+  /** [[columnStats]] with the drift sketch FUSED into the numeric
+    * aggregate: one extra `cur_qs` column of KLL quantiles of `n_tok`
+    * rides the same scan + shuffle (ObjectHashAggregate handles the mixed
+    * declarative/imperative state). The full bench pass previously scanned
+    * the current table once for stats and AGAIN for the drift compare;
+    * feeding [[Drift.sketchDriftFromQuantiles]] from this frame drops that
+    * second scan — at 100 TB a whole pass over the corpus.
+    */
+  def columnStatsWithQuantiles(tokens: DataFrame, k: Int,
+      ps: Seq[Double]): DataFrame = {
+    val numeric = tokens.groupBy("source").agg(
+      count(lit(1)).as("n_rows"),
+      min(col("n_tok")).as("min_n_tok"),
+      max(col("n_tok")).as("max_n_tok"),
+      avg(col("n_tok")).as("avg_n_tok"),
+      sum(col("tokens").isNull.cast("long")).as("null_tokens"),
+      graft.functions.KllFunctions.kllQuantiles(col("n_tok"), k, ps)
+        .as("cur_qs"))
+    val strings = tokens.select("source", "doc_id").groupBy("source").agg(
+      min(col("doc_id")).as("min_doc_id"),
+      max(col("doc_id")).as("max_doc_id"))
+    numeric.join(strings, Seq("source"))
+  }
+
   /** Distribution counts: total per source (main.py:276-278 analogue). */
   def totalsPerSource(tokens: DataFrame): DataFrame =
     tokens.groupBy("source").agg(count(lit(1)).as("total"))

@@ -38,6 +38,38 @@ class DriftSpec extends SparkSpec {
     assert(math.abs(s.getAs[Double]("max_delta") - 1000.0) < 200.0)
   }
 
+  test("fused stats+sketch equals the standalone sketch drift") {
+    // the bench full pass rides the drift sketch on the stats aggregate —
+    // the verdict from the fused frame must equal sketchQuantileDrift
+    // exactly (same deterministic sketches, one fewer scan)
+    val cur = mk("A", 1 to 800).toDF.unionByName(mk("N", 1 to 300).toDF)
+    val base = mk("A", 1 to 400).toDF
+    val fusedStats = graft.engine.StatsOps
+      .columnStatsWithQuantiles(cur, 200, Seq(0.5, 0.95))
+    // source N is absent from the baseline: max_delta is null on BOTH
+    // paths (full-outer join semantics) — extract null-safely
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getBoolean(2)))).toSet
+    val viaFused = rows(Drift.sketchDriftFromQuantiles(
+      fusedStats, base, "n_tok", 200, Seq(0.5, 0.95), 10.0))
+    val standalone = rows(Drift.sketchQuantileDrift(
+      cur, base, "n_tok", 200, Seq(0.5, 0.95), 10.0))
+    assert(viaFused === standalone)
+    assert(viaFused.exists(_._2.isDefined))
+    // and the stats columns still match the unfused stats
+    val plain = graft.engine.StatsOps.columnStats(cur)
+      .select("source", "n_rows", "min_n_tok", "max_n_tok").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    val fusedCols = fusedStats
+      .select("source", "n_rows", "min_n_tok", "max_n_tok").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(fusedCols === plain)
+  }
+
   test("rank-space sketch bound holds, and tightens with k") {
     // the bracket from the KLL rank guarantee (eps = 6/k): the sketch's
     // quantile value must lie between the exact quantiles at p∓eps — true
