@@ -41,13 +41,20 @@ object StatsOps {
     numeric.join(strings, Seq("source"))
   }
 
-  /** [[columnStats]] with the drift sketch FUSED into the numeric
-    * aggregate: one extra `cur_qs` column of KLL quantiles of `n_tok`
-    * rides the same scan + shuffle (ObjectHashAggregate handles the mixed
-    * declarative/imperative state). The full bench pass previously scanned
-    * the current table once for stats and AGAIN for the drift compare;
-    * feeding [[Drift.sketchDriftFromQuantiles]] from this frame drops that
-    * second scan — at 100 TB a whole pass over the corpus.
+  /** [[columnStats]] with the drift sketch FUSED in: one extra `cur_qs`
+    * column of KLL quantiles of `n_tok` rides the stats scan, so the full
+    * bench pass stops scanning the current table a second time for the
+    * drift compare ([[Drift.sketchDriftFromQuantiles]] then aggregates the
+    * baseline side only) — at 100 TB a whole pass over the corpus.
+    *
+    * WHERE it rides matters: fused into the numeric aggregate, the
+    * imperative KLL buffer forces that whole aggregate from the codegen'd
+    * HashAggregate into ObjectHashAggregate — measured at ×64 (38.4M
+    * rows), BOTH scaling levels ran ~9-14% SLOWER, more than the saved
+    * scan bought. The STRING min/max aggregate is already a
+    * non-codegen SortAggregate (var-width buffer), so the sketch rides
+    * there: the numeric side stays compiled and the drift scan still
+    * disappears.
     */
   def columnStatsWithQuantiles(tokens: DataFrame, k: Int,
       ps: Seq[Double]): DataFrame = {
@@ -56,12 +63,13 @@ object StatsOps {
       min(col("n_tok")).as("min_n_tok"),
       max(col("n_tok")).as("max_n_tok"),
       avg(col("n_tok")).as("avg_n_tok"),
-      sum(col("tokens").isNull.cast("long")).as("null_tokens"),
-      graft.functions.KllFunctions.kllQuantiles(col("n_tok"), k, ps)
-        .as("cur_qs"))
-    val strings = tokens.select("source", "doc_id").groupBy("source").agg(
-      min(col("doc_id")).as("min_doc_id"),
-      max(col("doc_id")).as("max_doc_id"))
+      sum(col("tokens").isNull.cast("long")).as("null_tokens"))
+    val strings = tokens.select("source", "doc_id", "n_tok")
+      .groupBy("source").agg(
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        graft.functions.KllFunctions.kllQuantiles(col("n_tok"), k, ps)
+          .as("cur_qs"))
     numeric.join(strings, Seq("source"))
   }
 

@@ -79,6 +79,22 @@ object Explain {
       timed("x_routed_gated2")(Validator.violationsRouted(
         wtok, wideRouting, dims).count())
     }
+    if (args.contains("--fullpass")) {
+      // interleaved A/B of the fused-sketch full pass vs the separate-scan
+      // form at the scaling-representative size — both in ONE JVM so
+      // box-state drift between runs can't masquerade as a code effect
+      val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "64").toInt
+      val stok = TokenTable.tokensScaled(spark, sfDir, scale)
+      val sbase = TokenTable.tokensBaseline(spark, sfDir)
+      graft.Bench.fullPassOn(spark, stok, sbase, fuseDriftSketch = true)
+      graft.Bench.fullPassOn(spark, stok, sbase, fuseDriftSketch = false)
+      (1 to 2).foreach { r =>
+        timed(s"fp_fused_$r")(
+          graft.Bench.fullPassOn(spark, stok, sbase, fuseDriftSketch = true))
+        timed(s"fp_unfused_$r")(
+          graft.Bench.fullPassOn(spark, stok, sbase, fuseDriftSketch = false))
+      }
+    }
     if (args.contains("--minhash")) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       timed("mh_bands")(graft.operators.DedupOps
