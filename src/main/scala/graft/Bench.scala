@@ -82,25 +82,31 @@ object Bench {
     // count()), which would fake the numbers.
     // a query that fails to plan or run is reported as -1, never as a
     // (near-zero) wall time — a regression must not masquerade as a speedup.
-    // BEST OF TWO runs per query: single-shot times swing 2-4× with
-    // JIT/page-cache warmth in one shared JVM (round-3's artifact reported
-    // phantom per-query regressions whose best-of-3 full pass got FASTER);
-    // the second run of a failed query is skipped.
-    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val (ok, sec) = timed {
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-          }
+    // BEST OF TWO runs per query, taken as ALTERNATING WHOLE-REGISTRY
+    // ROUNDS (all queries once, then all again), NOT back-to-back pairs:
+    // the r4 artifact showed a degraded JVM/box window poisoning BOTH
+    // back-to-back samples of every query inside it (r_report_* 4-20×
+    // while v_* in the same run got faster) — with round alternation the
+    // two samples of one query land ~half the registry apart in time, so
+    // a multi-minute degraded window can no longer take both.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def once(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val (ok, sec) = timed {
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
         }
-        if (ok) sec else -1.0
       }
-      val t1 = once()
-      val t2 = if (t1 < 0) t1 else once()
-      name -> Seq(t1, t2)
+      if (ok) sec else -1.0
     }
+    val round1 = ordered.map { case (name, fn) => once(name, fn) }
+    val round2 = ordered.zip(round1).map { case ((name, fn), t1) =>
+      if (t1 < 0) t1 else once(name, fn)
+    }
+    val runs = ordered.map(_._1).zip(round1.zip(round2))
+      .map { case (name, (t1, t2)) => name -> Seq(t1, t2) }
     val results = runs.map { case (name, ts) =>
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }

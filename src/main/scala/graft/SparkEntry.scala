@@ -238,14 +238,13 @@ object Queries {
       .orderBy("source", "rule_id")
   }
 
-  /** End-to-end assembled report (VERDICT r1 #5): inclusion predicate +
-    * category split + dedup + severity rank/color in one call.
+  /** End-to-end assembled report (VERDICT r1 #5): category split + dedup +
+    * severity rank/color in one call (the reference's inclusion predicate
+    * is summary-side only — see [[graft.report.ReportOps.assemble]]).
     */
   def rReportFull(spark: SparkSession, dir: String): DataFrame = {
-    val t = tok(spark, dir)
     val detailedV = detailed(spark, dir)
-    graft.report.ReportOps.assemble(
-        Validator.summary(t, detailedV), detailedV, fdpgRules)
+    graft.report.ReportOps.assemble(detailedV, fdpgRules)
       .orderBy("category", "severity_rank", "rule_id", "detail_generic")
   }
 
@@ -262,14 +261,11 @@ object Queries {
     val older = baselineTok(spark, dir)
     val olderDetailed = Validator.violations(older, ruleSet, dims(spark))
     graft.report.ReportOps.persistReport(
-      graft.report.ReportOps.assemble(
-        Validator.summary(older, olderDetailed), olderDetailed, fdpgRules),
+      graft.report.ReportOps.assemble(olderDetailed, fdpgRules),
       base, snapshotId = 1L)
-    val t = tok(spark, dir)
     val detailedV = detailed(spark, dir)
     graft.report.ReportOps.persistReport(
-      graft.report.ReportOps.assemble(
-        Validator.summary(t, detailedV), detailedV, fdpgRules),
+      graft.report.ReportOps.assemble(detailedV, fdpgRules),
       base, snapshotId = 2L)
     graft.report.ReportOps.latestReport(spark, base)
       .orderBy("category", "severity_rank", "rule_id", "detail_generic")
@@ -306,7 +302,6 @@ object Queries {
     graft.engine.ValidationRunner.runResumableWith(spark,
       t, violFn, manifest, 1L, Some(vstore))
     graft.report.ReportOps.assemble(
-        graft.engine.Checkpoint.summaryAt(spark, manifest, 1L),
         graft.engine.ViolationStore.latest(spark, vstore, 1L), fdpgRules)
       .orderBy("category", "severity_rank", "rule_id", "detail_generic")
   }
@@ -754,6 +749,18 @@ object Queries {
     graft.operators.PackOps.packSummary(tok(spark, dir), budget = 4096)
       .orderBy("source", "pack_id")
 
+  /** Two-level skew-safe packing (VERDICT r4 #5): the same greedy layout
+    * under the (bucket, doc) total order, with the running sum windowed
+    * per (source, md5-bucket) — 8-way parallel inside every source. The
+    * oracle replicates it as a FLAT window over that order (the two-level
+    * prefix-sum mechanics are an implementation detail; the contract is
+    * the order).
+    */
+  def vSeqPacking2(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PackOps.packSummaryBucketed(tok(spark, dir),
+        budget = 4096, nBuckets = 8)
+      .orderBy("source", "pack_id")
+
   /** Repetition signals (new in r4): duplicate word / 2-gram fractions —
     * the Gopher-family boilerplate-and-loop drop signal; exact arithmetic,
     * oracle-recomputed gram for gram.
@@ -885,6 +892,7 @@ object Queries {
     "d_repetition" -> (dRepetition _),
     "d_quality_filter" -> (dQualityFilter _),
     "v_seq_packing" -> (vSeqPacking _),
+    "v_seq_packing2" -> (vSeqPacking2 _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -1703,6 +1711,30 @@ object Queries {
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |           AS before
          |  FROM tok)
+         |SELECT source, CAST(floor(before / 4096.0) AS BIGINT) AS pack_id,
+         |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
+
+    // two-level packing == flat greedy under the (bucket, doc) order: the
+    // oracle computes the md5 bucket (same 8-hex-chars-to-int derivation
+    // as d_split_assign, over doc_id || ':' || okey) and runs ONE flat
+    // window ordered by (bucket, doc_id, okey, n_tok)
+    "v_seq_packing2" ->
+      s"""WITH $cte,
+         |b AS (
+         |  SELECT source, doc_id, n_tok, okey,
+         |         CAST(concat('0x', substring(
+         |           md5(doc_id || ':' || CAST(okey AS VARCHAR)), 1, 8))
+         |           AS BIGINT) % 8 AS bucket
+         |  FROM tok),
+         |c AS (
+         |  SELECT source, doc_id, n_tok,
+         |         COALESCE(SUM(n_tok) OVER (
+         |           PARTITION BY source
+         |           ORDER BY bucket, doc_id, okey, n_tok
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS before
+         |  FROM b)
          |SELECT source, CAST(floor(before / 4096.0) AS BIGINT) AS pack_id,
          |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
          |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,

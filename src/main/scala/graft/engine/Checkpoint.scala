@@ -159,36 +159,53 @@ object ValidationRunner {
     val runTs = Checkpoint.nextRunTs(spark, manifestPath)
 
     // fast path: one job over all pending partitions (not a per-partition
-    // loop) — the filter prunes partitions at the scan when stored by source
+    // loop) — the filter prunes partitions at the scan when stored by source.
+    // The WHOLE branch — including the ViolationStore write, which is where
+    // the rule pass actually executes when violationsDir is set — evaluates
+    // inside the containment try: a poison partition in the batched write
+    // must fall through to the per-partition fallback, not abort the run
+    // uncaught with zero manifest rows for the healthy partitions.
     val slice = tokens.where(col("source").isin(pending: _*))
     val t0 = System.nanoTime()
-    val summary = (violationsDir match {
-      case Some(vd) =>
-        // the rule pass executes INSIDE this write; the summary below reads
-        // the persisted rows back (tiny) + one count-only scan of the slice
-        ViolationStore.persist(violationsOf(slice), vd, snapshotId, runTs)
-        Validator.summaryFromCounts(
-          slice.groupBy("source").agg(count(lit(1)).as("n_rows")),
-          ViolationStore.generation(spark, vd, snapshotId, runTs))
-      case None =>
-        Validator.summary(slice, violationsOf(slice))
-    }).cache()
-    val rows = try summary.collect() catch {
+    var summary: DataFrame = null
+    val rows = try {
+      summary = (violationsDir match {
+        case Some(vd) =>
+          // the rule pass executes INSIDE this write; the summary below
+          // reads the persisted rows back (tiny) + one count-only scan
+          ViolationStore.persist(violationsOf(slice), vd, snapshotId, runTs,
+            validatedSources = pending)
+          Validator.summaryFromCounts(
+            slice.groupBy("source").agg(count(lit(1)).as("n_rows")),
+            ViolationStore.generation(spark, vd, snapshotId, runTs))
+        case None =>
+          Validator.summary(slice, violationsOf(slice))
+      }).cache()
+      summary.collect()
+    } catch {
       case _: Throwable =>
         // containment with attribution (reference behavior, main.py:225-263):
         // the batched job failed somewhere — fall back to per-partition runs
         // so the error is attributed to the partition that caused it and
-        // every healthy partition still completes and is checkpointed
+        // every healthy partition still completes and is checkpointed.
+        // FRESH generation stamp: the fast path may have COMMITTED its
+        // violation write before the summary read-back failed — appending
+        // the fallback's per-partition writes into that same generation
+        // would double every violation row. A newer generation instead
+        // supersedes it cleanly (and prune() reclaims the orphan).
+        val retryTs = math.max(
+          Checkpoint.nextRunTs(spark, manifestPath), runTs + 1)
         val perPart = pending.map { p =>
           val one = tokens.where(col("source") === lit(p))
           val tp = System.nanoTime()
           try {
             val s = violationsDir match {
               case Some(vd) =>
-                ViolationStore.persist(violationsOf(one), vd, snapshotId, runTs)
+                ViolationStore.persist(violationsOf(one), vd, snapshotId,
+                  retryTs, validatedSources = Seq(p))
                 Validator.summaryFromCounts(
                   one.groupBy("source").agg(count(lit(1)).as("n_rows")),
-                  ViolationStore.generation(spark, vd, snapshotId, runTs)
+                  ViolationStore.generation(spark, vd, snapshotId, retryTs)
                     .where(col("source") === lit(p))).collect()
               case None =>
                 Validator.summary(one, violationsOf(one)).collect()
@@ -204,7 +221,7 @@ object ValidationRunner {
                 (System.nanoTime() - tp) / 1000000)
           }
         }
-        Checkpoint.append(spark, manifestPath, perPart, runTs)
+        Checkpoint.append(spark, manifestPath, perPart, retryTs)
         val okParts = perPart.filter(_.status == "ok").map(_.partition)
         val failed = perPart.filterNot(_.status == "ok").map(_.partition)
         import spark.implicits._

@@ -375,10 +375,39 @@ object DedupOps {
     * Output: (doc_id, cluster_id) for every doc appearing in a pair, with
     * cluster_id = min doc_id of its component (deterministic canonical
     * representative).
+    *
+    * Convergence contract (VERDICT r4): exiting at `maxIters` without a
+    * fixpoint means some labels are WRONG (a component longer than
+    * `maxIters` hops is still split) — [[connectedComponents]] THROWS
+    * rather than returning silently-wrong cluster ids;
+    * [[connectedComponentsWithStats]] returns the labels together with
+    * (converged, rounds) for callers that want to inspect or resume.
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxIters: Int = 20): DataFrame = {
+    val r = connectedComponentsWithStats(pairs, aCol, bCol, maxIters)
+    if (!r.converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"(${r.lastChanged} labels still changing): a component's " +
+          "diameter exceeds maxIters — raise it (rounds needed = longest " +
+          "chain of near-duplicate hops)")
+    r.labels
+  }
+
+  /** Label-propagation outcome: `labels` is (doc_id, cluster_id);
+    * `converged` is the fixpoint flag; `rounds` is the number of
+    * propagation rounds executed; `lastChanged` is the number of labels
+    * that changed in the final round (0 iff converged).
+    */
+  final case class CCResult(
+      labels: DataFrame, converged: Boolean, rounds: Int, lastChanged: Long)
+
+  /** [[connectedComponents]] without the unconverged-exit throw. */
+  def connectedComponentsWithStats(
+      pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIters: Int = 20): CCResult = {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     // localCheckpoint (eager), not persist: an iterative frame must CUT its
     // lineage each round or the logical plan embeds the whole union/join
@@ -395,6 +424,7 @@ object DedupOps {
       .localCheckpoint(true)
     var converged = false
     var i = 0
+    var lastChanged = 0L
     while (!converged && i < maxIters) {
       val viaEdges = edges
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
@@ -406,9 +436,12 @@ object DedupOps {
           labels.withColumnRenamed("label", "_old"), Seq("node"))
         .where(col("label") =!= col("_old")).count()
       labels = next
+      lastChanged = changed
       converged = changed == 0
       i += 1
     }
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    CCResult(
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id")),
+      converged, i, lastChanged)
   }
 }

@@ -157,10 +157,23 @@ object VectorIndex {
     * is content-neutral (IndexSpec proves probe equality after
     * append → compact) — and untouched directories are never rewritten.
     *
-    * Single-writer assumption (same as the appends): the swap
-    * (write hidden sibling → delete originals → move in) is not atomic for
-    * concurrent readers of THAT bucket. Returns the number of directories
-    * compacted.
+    * SINGLE-WRITER assumption (same as the appends and
+    * [[graft.engine.ViolationStore.prune]]): compaction must not run
+    * beside an append to the same index — an append landing in a bucket
+    * mid-rewrite would be deleted by the originals sweep. The swap is also
+    * not atomic for concurrent readers of THAT bucket (a reader in the
+    * delete window sees a partial bucket). After a CRASHED compact, run
+    * `compact` again BEFORE the next append: recovery promotes the
+    * crash-surviving hidden copy, and an intervening append's files would
+    * be indistinguishable from already-compacted originals.
+    *
+    * Crash safety: the compacted copy is moved INTO the leaf under a
+    * dot-prefixed (reader-invisible) name BEFORE any original is deleted,
+    * and made visible only after the originals are gone — at every crash
+    * point the leaf holds at least one complete copy of its rows, and
+    * [[recoverLeaf]] (run on entry for every leaf) finishes the swap from
+    * the hidden copy instead of re-reading a partially-deleted bucket.
+    * Returns the number of directories compacted.
     */
   def compact(spark: SparkSession, indexDir: String, maxFiles: Int = 4): Int = {
     import org.apache.hadoop.fs.Path
@@ -177,12 +190,36 @@ object VectorIndex {
         .filter(s => s.isDirectory && visible(s.getPath)).map(_.getPath)
       if (dirs.isEmpty) Seq(p) else dirs.flatMap(leaves)
     }
+    def visibleParquet(leaf: Path): Seq[Path] =
+      fs.listStatus(leaf).toSeq
+        .filter(s => s.isFile && visible(s.getPath) &&
+          s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+
+    // a hidden `.compacted_…` file in a leaf means a previous compact
+    // crashed AFTER its full copy landed: the copy holds every row the
+    // leaf had, so finishing the swap (delete visible remnants, unhide)
+    // is lossless at every crash position — whereas re-reading the leaf
+    // could see a partially-deleted bucket
+    def recoverLeaf(leaf: Path): Unit = {
+      val hidden = fs.listStatus(leaf).toSeq.filter(s => s.isFile &&
+        s.getPath.getName.startsWith(".compacted_") &&
+        s.getPath.getName.endsWith(".parquet")).map(_.getPath)
+      if (hidden.nonEmpty) {
+        // several hidden copies = crashes across retries; newest wins
+        // (each holds a superset of the visible rows at its write time)
+        val keep = hidden.maxBy(p => fs.getFileStatus(p).getModificationTime)
+        visibleParquet(leaf).foreach(f => fs.delete(f, false))
+        hidden.filterNot(_ == keep).foreach(f => fs.delete(f, false))
+        fs.rename(keep, new Path(leaf,
+          keep.getName.stripPrefix(".compacted_")))
+      }
+    }
 
     var compacted = 0
     leaves(root).foreach { leaf =>
-      val files = fs.listStatus(leaf).toSeq
-        .filter(s => s.isFile && visible(s.getPath) &&
-          s.getPath.getName.endsWith(".parquet"))
+      recoverLeaf(leaf)
+      val files = visibleParquet(leaf)
       if (files.length > maxFiles) {
         // dot-prefixed sibling: invisible to Spark's file discovery, so a
         // reader of the PARENT never double-counts during the rewrite
@@ -190,11 +227,15 @@ object VectorIndex {
         fs.delete(tmp, true)
         spark.read.parquet(leaf.toString)
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        files.foreach(f => fs.delete(f.getPath, false))
-        fs.listStatus(tmp).toSeq
+        val part = fs.listStatus(tmp).toSeq
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .foreach(s => fs.rename(s.getPath, new Path(leaf, s.getPath.getName)))
+          .map(_.getPath).head
+        // land the full copy in the leaf (hidden) BEFORE deleting anything
+        val hidden = new Path(leaf, s".compacted_${part.getName}")
+        fs.rename(part, hidden)
         fs.delete(tmp, true)
+        files.foreach(f => fs.delete(f, false))
+        fs.rename(hidden, new Path(leaf, part.getName))
         compacted += 1
       }
     }

@@ -90,39 +90,26 @@ object ReportOps {
 
   /** End-to-end report assembly — the one-call composition the reference
     * builds in report_visualizer.py:397-447 + extraction/main.py:296-304:
-    * inclusion predicate (only sources with real issues) → category split
-    * (FDPG metadata rules vs general) → dedup by (severity, rule,
-    * generalized detail) → severity rank + display color.
+    * category split (FDPG metadata rules vs general) → dedup by (severity,
+    * rule, generalized detail) → severity rank + display color.
     *
     * One flat frame (category, severity_rank, color, severity, rule_id,
     * detail_generic, cnt); a renderer would section it by category and
     * order by severity_rank.
     *
-    * The inclusion set is COLLECTED (one row per source — partition-count
-    * cardinality, same class as the checkpoint manifest reads) and applied
-    * as an `isin` predicate rather than a semi-join: Catalyst pushes a
-    * semi-join through the violations UNION, re-embedding the entire
-    * summary subtree into every branch (measured 39 scans instead of 7);
-    * the predicate pushes into each branch as a free filter — and prunes
-    * partitions when the table is stored by source.
+    * The reference's report-inclusion predicate (main.py:153-155 — only
+    * sources with real issues enter the report) is a SUMMARY-side filter:
+    * on the detailed-violations side it is vacuous, because every violation
+    * row's source has ≥1 violation (itself) — scoping `detailed` to
+    * "sources with violations" can only ever drop rows whose source is
+    * NULL, which the `isNotNull` filter below does without executing the
+    * summary subtree. An earlier formulation ran the full violations
+    * pipeline a second time just to collect that no-op inclusion list —
+    * one whole wasted corpus pass per assembled report at scale.
+    * [[includeSources]] remains the standalone summary-side operator.
     */
-  def assemble(summary: DataFrame, detailed: DataFrame,
-      metadataRules: Seq[String],
-      isinThreshold: Int = 1024): DataFrame = {
-    val included: Seq[String] = includeSources(summary)
-      .limit(isinThreshold + 1).collect().map(_.getString(0)).toSeq
-    // Above the threshold the literal list degenerates (driver memory +
-    // predicate size grow with source cardinality): fall back to a broadcast
-    // semi-join. It re-embeds the summary subtree into each union branch
-    // (the measured 39-scan cost the isin avoids), so it is the guard, not
-    // the default — the common case is partition-count-cardinality sources.
-    val scoped =
-      if (included.size <= isinThreshold)
-        detailed.where(col("source").isin(included: _*))
-      else
-        detailed.join(broadcast(includeSources(summary)), Seq("source"),
-          "left_semi")
-    scoped
+  def assemble(detailed: DataFrame, metadataRules: Seq[String]): DataFrame =
+    detailed.where(col("source").isNotNull)
       .select(
         when(col("rule_id").isin(metadataRules: _*), "fdpg")
           .otherwise("general").as("category"),
@@ -134,7 +121,6 @@ object ReportOps {
         severityRank(col("severity")).as("severity_rank"),
         severityColor(col("severity")).as("color"),
         col("severity"), col("rule_id"), col("detail_generic"), col("cnt"))
-  }
 
   /** Persist an assembled report as a snapshot-stamped parquet artifact —
     * the engine analogue of the reference writing one timestamped JSON

@@ -97,7 +97,6 @@ object Validate {
 
     val reportPath = reportDir.map { dir =>
       val rep = ReportOps.assemble(
-        Checkpoint.summaryAt(spark, manifestPath, snapshotId),
         graft.engine.ViolationStore.latest(spark, vDir, snapshotId),
         metadataRules)
       ReportOps.persistReport(rep, dir, snapshotId)

@@ -171,6 +171,54 @@ class IndexSpec extends SparkSpec {
     assert(VectorIndex.compact(spark, idx, maxFiles = 1) === 0)
   }
 
+  test("compaction recovers a crash-interrupted swap losslessly") {
+    // ADVICE r4 (low): the old swap deleted originals BEFORE moving the
+    // compacted copy in — a crash in that window lost the bucket. The new
+    // protocol lands the full copy hidden in the leaf first; this test
+    // freezes the worst crash position (hidden copy present, originals
+    // PARTIALLY deleted) and asserts the next compact() restores every row.
+    def wipe(tag: String): Unit = {
+      val d = new java.io.File(s"/tmp/graft_vec_index/ivf_${tag}_c8_k0")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      if (d.exists()) rm(d)
+    }
+    wipe("speccrashA")
+    val sliceA = embs.where(col("vec_id") < 150)
+    val rest = embs.where(col("vec_id") >= 150)
+    val (idx, cent) = VectorIndex.ivf(spark, sliceA, "speccrashA", 8)
+    VectorIndex.ivfAppend(spark, idx, cent, rest)
+    val pre = VectorIndex.ivfTopK(spark, idx, cent, qv, 10, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+
+    // freeze the crash state in one multi-file bucket
+    val leaf = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("centroid_id="))
+      .find(_.listFiles().count(_.getName.endsWith(".parquet")) > 1).get
+    val tmp = s"${idx}/.spec_crash_tmp"
+    spark.read.parquet(leaf.toString).coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val hidden = new java.io.File(leaf, s".compacted_${part.getName}")
+    assert(part.renameTo(hidden))
+    def rmAll(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmAll); f.delete()
+    }
+    rmAll(new java.io.File(tmp))
+    // the crash hit mid-sweep: one original is already gone
+    leaf.listFiles().filter(f => f.getName.endsWith(".parquet") &&
+      !f.getName.startsWith(".")).take(1).foreach(f => assert(f.delete()))
+
+    VectorIndex.compact(spark, idx, maxFiles = 1)
+    val post = VectorIndex.ivfTopK(spark, idx, cent, qv, 10, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(post === pre, "crash recovery lost rows")
+    assert(!leaf.listFiles().exists(_.getName.startsWith(".compacted_")),
+      "hidden copy not promoted")
+  }
+
   test("one Lloyd iteration balances the centroid lists") {
     val (idx0, _) = VectorIndex.ivf(spark, embs, "spec0001", 8)
     val (idx1, _) = VectorIndex.ivf(spark, embs, "spec0001", 8, kmeansIters = 1)
