@@ -174,6 +174,97 @@ object Explain {
         { pairs.select(SimilarityOps.dotHof(col("ea"), col("eb")).as("d"))
           .agg(sum("d")).collect(); 124750L })
     }
+    if (args.contains("--bucketed")) {
+      // VERDICT r4 #7: the 38M-row exchange feeding the uniqueness
+      // SortAggregate is the full pass's dominant non-scaling component.
+      // Variant: store the token cache bucketBy(doc_id) (+ sortBy) so the
+      // aggregate's required distribution is satisfied AT THE SCAN — no
+      // exchange, and with sorted buckets no sort either. Measured at ×64
+      // on 2c and 8c; the one-time layout write is timed separately (it
+      // pays the same shuffle once, amortized over every later pass).
+      val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "64").toInt
+      val stok = TokenTable.tokensScaled(spark, sfDir, scale)
+      val tbl = s"graft_tok_bucketed_x${scale}_c$cpus"
+      val path = s"/tmp/graft_tok_bucketed/x${scale}_c$cpus"
+      graft.sources.Fs.delete(spark, path)
+      timed("bk_layout_write")({
+        stok.write.mode("overwrite")
+          .bucketBy(32, "doc_id").sortBy("doc_id")
+          .option("path", path).format("parquet").saveAsTable(tbl)
+        1L
+      })
+      val btok = spark.table(tbl)
+      val uniq = ruleSet.uniqueRules.head
+      Validator.uniqueViolations(btok, uniq).count() // warm
+      timed("bk_uniq_bucketed")(
+        Validator.uniqueViolations(btok, uniq).count())
+      timed("bk_uniq_bucketed2")(
+        Validator.uniqueViolations(btok, uniq).count())
+      Validator.uniqueViolations(stok, uniq).count() // warm
+      timed("bk_uniq_exchange")(
+        Validator.uniqueViolations(stok, uniq).count())
+      timed("bk_uniq_exchange2")(
+        Validator.uniqueViolations(stok, uniq).count())
+      // plan proof: the bucketed aggregate must carry NO Exchange
+      val plan = {
+        val df = Validator.uniqueViolations(btok, uniq)
+        df.collect()
+        df.queryExecution.executedPlan.toString
+      }
+      println(s"[explain] bk_exchange_free=" +
+        !plan.contains("Exchange hashpartitioning"))
+    }
+    if (args.contains("--registry")) {
+      // interleaved same-JVM A/B of the registry queries the r4 bench
+      // artifact flagged (r_report_* 4-20× slower) against stable v_*
+      // controls: each round runs every query once, rounds repeat — if the
+      // report family is genuinely slow, it is slow in EVERY round while
+      // the controls stay flat; if r4 was a degraded window, all rounds
+      // agree at the fast level. Never conclude from two separate runs.
+      val names = Seq("r_report_sources", "r_report_full",
+        "r_severity_sorted", "v_summary", "v_dedup_issues")
+      val qs = graft.SparkEntry.queries
+      def runQ(n: String): Long = {
+        qs(n)(spark, sfDir).write.format("noop").mode("overwrite").save(); 1L
+      }
+      names.foreach(runQ) // warm-up round (JIT + token cache)
+      (1 to 3).foreach { r =>
+        names.foreach(n => timed(s"reg_${n}_$r")(runQ(n)))
+      }
+    }
+    if (args.contains("--artifacts")) {
+      // 2c→8c component profile for the newest lifecycle path (VERDICT r4
+      // #6): violation-store persist + latest-reconstruction + report
+      // assembly over the scaled table, so an artifact-side scaling
+      // regression is visible on its own row like the rule pass's
+      val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "16").toInt
+      val stok = TokenTable.tokensScaled(spark, sfDir, scale)
+      val vd = s"/tmp/graft_explain_vstore_c$cpus"
+      graft.sources.Fs.delete(spark, vd)
+      val detailed = Validator.violations(stok, ruleSet, dims)
+      timed("art_persist")({
+        graft.engine.ViolationStore.persist(detailed, vd, 1L, 1L)
+        1L
+      })
+      timed("art_latest")(
+        graft.engine.ViolationStore.latest(spark, vd, 1L).count())
+      timed("art_assemble_stored")({
+        graft.report.ReportOps.assemble(
+          graft.engine.ViolationStore.latest(spark, vd, 1L), Nil)
+          .write.format("noop").mode("overwrite").save(); 1L
+      })
+      timed("art_assemble_live")({
+        graft.report.ReportOps.assemble(
+          Validator.violations(stok, ruleSet, dims), Nil)
+          .write.format("noop").mode("overwrite").save(); 1L
+      })
+      timed("art_assemble_live2")({
+        graft.report.ReportOps.assemble(
+          Validator.violations(stok, ruleSet, dims), Nil)
+          .write.format("noop").mode("overwrite").save(); 1L
+      })
+      graft.sources.Fs.delete(spark, vd)
+    }
     spark.stop()
   }
 }
