@@ -214,6 +214,23 @@ object Explain {
       println(s"[explain] bk_exchange_free=" +
         !plan.contains("Exchange hashpartitioning"))
     }
+    if (args.contains("--pack")) {
+      // skew case for packing (VERDICT r4 #5): ONE monolithic source — the
+      // flat window is a single task regardless of cores; the two-level
+      // form parallelizes across hash buckets. 2c→8c rows at ×SCALE.
+      val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "16").toInt
+      val mono = TokenTable.tokensScaled(spark, sfDir, scale)
+        .withColumn("source", lit("S"))
+      def flat(): Long = graft.operators.PackOps
+        .packSummary(mono, budget = 4096).count()
+      def bucketed(): Long = graft.operators.PackOps
+        .packSummaryBucketed(mono, budget = 4096, nBuckets = 32).count()
+      bucketed(); flat() // warm
+      timed("pack_flat_mono")(flat())
+      timed("pack_flat_mono2")(flat())
+      timed("pack_bucketed_mono")(bucketed())
+      timed("pack_bucketed_mono2")(bucketed())
+    }
     if (args.contains("--registry")) {
       // interleaved same-JVM A/B of the registry queries the r4 bench
       // artifact flagged (r_report_* 4-20× slower) against stable v_*
