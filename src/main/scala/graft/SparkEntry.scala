@@ -798,6 +798,40 @@ object Queries {
       .select(col("doc_id"), col("bucket"), col("split"))
       .orderBy("doc_id")
 
+  /** Stratified deterministic sampling (new in r5): per-source keep
+    * percentages (the domain-mixing knob) via the md5-bucket predicate —
+    * verified by per-stratum kept counts + boundary doc ids; the oracle
+    * replays the identical hash threshold per stratum.
+    */
+  def dStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = tok(spark, dir).withColumn("sid",
+      concat_ws(":", col("doc_id"), col("okey")))
+    graft.operators.SampleOps.stratifiedSample(t, "sid", "source",
+        Map("A" -> 50, "N" -> 10, "R" -> 80), defaultPct = 20)
+      .groupBy("source").agg(count(lit(1)).as("kept"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("source")
+  }
+
+  /** Algebraic stats rollup (new in r5): per-source mergeable accumulators
+    * rolled up to ONE global row, avg/variance derived from the merged
+    * exact integer sums — must equal direct global aggregation (the
+    * per-partition-stats-reuse identity; the oracle aggregates the table
+    * directly in one level).
+    */
+  def vStatsMerged(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.mergeStatParts(StatsOps.mergeableStats(tok(spark, dir)))
+
+  /** Cross-snapshot violation diff (new in r5): current vs baseline
+    * (even-okey) snapshot violations classified new / resolved /
+    * persisting per rule — the regression view of two validation runs.
+    */
+  def rReportDiff(spark: SparkSession, dir: String): DataFrame =
+    graft.report.ReportOps.diffReport(
+        detailed(spark, dir),
+        Validator.violations(baselineTok(spark, dir), ruleSet, dims(spark)))
+      .orderBy("rule_id", "status")
+
   /** Quality ratio family (length/punct/stopword — the training-pipeline
     * quality-signal set beyond TTR).
     */
@@ -889,6 +923,9 @@ object Queries {
     "d_quality_ratios" -> (dQualityRatios _),
     "d_dup_clusters" -> (dDupClusters _),
     "d_split_assign" -> (dSplitAssign _),
+    "d_stratified_sample" -> (dStratifiedSample _),
+    "v_stats_merged" -> (vStatsMerged _),
+    "r_report_diff" -> (rReportDiff _),
     "d_repetition" -> (dRepetition _),
     "d_quality_filter" -> (dQualityFilter _),
     "v_seq_packing" -> (vSeqPacking _),
@@ -977,22 +1014,38 @@ object Queries {
     * the full violations CTE and the resumed-report oracle, which drops
     * the dataset-global uniqueness branch).
     */
-  private val rowRefViolBranches: String =
-    """  SELECT doc_id, 'not_null_tokens' AS rule_id,
-      |         'tokens is null: minimum required = 1, but only found 0' AS detail,
-      |         'fatal' AS severity, source
-      |  FROM tok WHERE tokens_null
-      |  UNION ALL
-      |  SELECT doc_id, 'len_consistency',
-      |         'n_tok=' || n_tok || ' size=' || n_true, 'error', source
-      |  FROM tok WHERE NOT tokens_null AND n_tok <> n_true
-      |  UNION ALL
-      |  SELECT doc_id, 'token_bounds', 'token out of [0,50000)', 'warning', source
-      |  FROM tok WHERE NOT tokens_null AND key % 109 = 0
-      |  UNION ALL
-      |  SELECT doc_id, 'ref_source',
-      |         'source=''' || source || ''' not in allowed_sources', 'error', source
-      |  FROM tok WHERE source NOT IN ('A','N','R')""".stripMargin
+  private def rowRefViolBranchesOver(t: String): String =
+    s"""  SELECT doc_id, 'not_null_tokens' AS rule_id,
+       |         'tokens is null: minimum required = 1, but only found 0' AS detail,
+       |         'fatal' AS severity, source
+       |  FROM $t WHERE tokens_null
+       |  UNION ALL
+       |  SELECT doc_id, 'len_consistency',
+       |         'n_tok=' || n_tok || ' size=' || n_true, 'error', source
+       |  FROM $t WHERE NOT tokens_null AND n_tok <> n_true
+       |  UNION ALL
+       |  SELECT doc_id, 'token_bounds', 'token out of [0,50000)', 'warning', source
+       |  FROM $t WHERE NOT tokens_null AND key % 109 = 0
+       |  UNION ALL
+       |  SELECT doc_id, 'ref_source',
+       |         'source=''' || source || ''' not in allowed_sources', 'error', source
+       |  FROM $t WHERE source NOT IN ('A','N','R')""".stripMargin
+
+  private val rowRefViolBranches: String = rowRefViolBranchesOver("tok")
+
+  /** Full violation set (row + referential + uniqueness) as a named CTE
+    * over an arbitrary token view `t` — lets one oracle recompute the
+    * violations of BOTH snapshots (the diff report's two sides).
+    */
+  private def violationsOver(t: String, v: String): String =
+    s"""$v AS (
+       |${rowRefViolBranchesOver(t)}
+       |  UNION ALL
+       |  SELECT doc_id, 'unique_doc_id',
+       |         'doc_id occurs ' || cnt || ' times', 'warning', minsrc
+       |  FROM (SELECT doc_id, count(*) AS cnt, min(source) AS minsrc
+       |        FROM $t GROUP BY doc_id) WHERE cnt > 1
+       |)""".stripMargin
 
   private val violationsCte: String =
     s"""$cte, v AS (
@@ -1015,6 +1068,60 @@ object Queries {
       s"""WITH $violationsCte
          |SELECT doc_id, rule_id, detail FROM v
          |ORDER BY doc_id, rule_id, detail""".stripMargin,
+
+    // cross-snapshot diff: violations of the full table vs the even-okey
+    // baseline snapshot, identity (doc_id, rule_id, source), classified
+    // new / resolved / persisting per rule
+    "r_report_diff" ->
+      s"""WITH $cte,
+         |tokb AS (SELECT * FROM tok WHERE okey % 2 = 0),
+         |${violationsOver("tok", "vc")},
+         |${violationsOver("tokb", "vb")},
+         |cur AS (SELECT DISTINCT doc_id, rule_id, source FROM vc),
+         |base AS (SELECT DISTINCT doc_id, rule_id, source FROM vb),
+         |j AS (
+         |  SELECT coalesce(c.rule_id, b.rule_id) AS rule_id,
+         |         CASE WHEN c.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+         |              THEN 'persisting'
+         |              WHEN c.doc_id IS NOT NULL THEN 'new'
+         |              ELSE 'resolved' END AS status
+         |  FROM cur c FULL OUTER JOIN base b
+         |    ON c.doc_id = b.doc_id AND c.rule_id = b.rule_id
+         |       AND c.source = b.source)
+         |SELECT rule_id, status, CAST(count(*) AS BIGINT) AS cnt
+         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // algebraic rollup == direct global aggregation: avg/var derived from
+    // exact integer sums with the same one-double-op-each expressions
+    "v_stats_merged" ->
+      s"""WITH $cte
+         |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+         |       min(n_tok) AS min_n_tok, max(n_tok) AS max_n_tok,
+         |       CAST(sum(CASE WHEN tokens_null THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS null_tokens,
+         |       CAST(sum(n_tok) AS DOUBLE) / count(*) AS avg_n_tok,
+         |       CAST(sum(CAST(n_tok AS BIGINT) * n_tok) AS DOUBLE) / count(*)
+         |         - (CAST(sum(n_tok) AS DOUBLE) / count(*))
+         |           * (CAST(sum(n_tok) AS DOUBLE) / count(*)) AS var_n_tok
+         |FROM tok""".stripMargin,
+
+    // stratified sample: identical md5 threshold per stratum, verified by
+    // per-stratum kept counts + boundary doc ids
+    "d_stratified_sample" ->
+      s"""WITH $cte,
+         |s AS (
+         |  SELECT source, doc_id,
+         |         CAST(concat('0x', substring(
+         |           md5(doc_id || ':' || CAST(okey AS VARCHAR)), 1, 8))
+         |           AS BIGINT) % 100 AS b
+         |  FROM tok)
+         |SELECT source, CAST(count(*) AS BIGINT) AS kept,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM s
+         |WHERE b < CASE source WHEN 'A' THEN 50 WHEN 'N' THEN 10
+         |                      WHEN 'R' THEN 80 ELSE 20 END
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "v_summary" ->
       s"""WITH $violationsCte,

@@ -73,6 +73,53 @@ object StatsOps {
     numeric.join(strings, Seq("source"))
   }
 
+  /** ALGEBRAIC per-group stat accumulators — the mergeable form of
+    * [[columnStats]]'s numeric side: exact integer sums (count, sum,
+    * sum-of-squares, null count) plus min/max. Unlike avg/variance, every
+    * column here merges by plain sum/min/max, so per-partition rows roll
+    * up to any coarser grouping WITHOUT rescanning the data — the 100 TB
+    * pattern where stats are computed once per storage partition (or read
+    * from Iceberg/parquet metadata) and combined on demand.
+    *
+    * `sumsq_n_tok` in a long is safe to ~2×10^9 rows per group at
+    * n_tok ≤ 2000; derived stats (avg, population variance) are computed
+    * only at [[mergeStatParts]] time from the exact sums, so they are
+    * bit-identical however the partial rows were grouped.
+    */
+  def mergeableStats(tokens: DataFrame, by: String = "source"): DataFrame =
+    tokens.groupBy(by).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_tok").cast("long")).as("sum_n_tok"),
+      sum((col("n_tok").cast("long") * col("n_tok").cast("long")))
+        .as("sumsq_n_tok"),
+      min(col("n_tok")).as("min_n_tok"),
+      max(col("n_tok")).as("max_n_tok"),
+      sum(col("tokens").isNull.cast("long")).as("null_tokens"))
+
+  /** Roll partial [[mergeableStats]] rows up to ONE global row and derive
+    * avg + population variance from the merged exact sums (one double
+    * division / multiply each — deterministic regardless of merge order,
+    * DuckDB-oracle bit-identical). `mergeStatParts(mergeableStats(t))` ==
+    * direct global stats over `t`, proved by the `v_stats_merged` oracle
+    * and spec — the identity that makes per-partition stats artifacts
+    * safe to reuse instead of rescanning the corpus.
+    */
+  def mergeStatParts(parts: DataFrame): DataFrame =
+    parts.agg(
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_n_tok")).as("sum_n_tok"),
+        sum(col("sumsq_n_tok")).as("sumsq_n_tok"),
+        min(col("min_n_tok")).as("min_n_tok"),
+        max(col("max_n_tok")).as("max_n_tok"),
+        sum(col("null_tokens")).as("null_tokens"))
+      .select(col("n_rows"), col("sum_n_tok"), col("min_n_tok"),
+        col("max_n_tok"), col("null_tokens"),
+        (col("sum_n_tok").cast("double") / col("n_rows")).as("avg_n_tok"),
+        (col("sumsq_n_tok").cast("double") / col("n_rows") -
+          (col("sum_n_tok").cast("double") / col("n_rows")) *
+          (col("sum_n_tok").cast("double") / col("n_rows")))
+          .as("var_n_tok"))
+
   /** Distribution counts: total per source (main.py:276-278 analogue). */
   def totalsPerSource(tokens: DataFrame): DataFrame =
     tokens.groupBy("source").agg(count(lit(1)).as("total"))

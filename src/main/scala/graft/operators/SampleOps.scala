@@ -52,4 +52,21 @@ object SampleOps {
     */
   def sampleFraction(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.where(hashBucket(col(idCol), 100) < pct)
+
+  /** STRATIFIED deterministic sampling: a different keep-percentage per
+    * stratum (domain/source/language mixing weights — the knob an LLM data
+    * pipeline turns to up-sample rare domains and down-sample crawl bulk).
+    * Same md5-bucket predicate as [[sampleFraction]], with the threshold a
+    * per-stratum CASE — still one codegen'd scan-stage filter, no shuffle,
+    * no `sampleBy` per-partition randomness, reproducible across engines
+    * and years. Strata absent from `pctByStratum` keep `defaultPct`.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      pctByStratum: Map[String, Int], defaultPct: Int): DataFrame = {
+    val threshold = pctByStratum.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPct)) { case (acc, (k, pct)) =>
+        when(col(stratumCol) === k, lit(pct)).otherwise(acc)
+      }
+    df.where(hashBucket(col(idCol), 100) < threshold)
+  }
 }

@@ -122,6 +122,34 @@ object ReportOps {
         severityColor(col("severity")).as("color"),
         col("severity"), col("rule_id"), col("detail_generic"), col("cnt"))
 
+  /** Cross-snapshot violation diff — the regression view a recurring
+    * validation run needs (the reference writes one timestamped report per
+    * run, main.py:296-304; comparing two runs is the natural next question
+    * its users answer by eyeballing two PDFs). Violation identity is
+    * (doc_id, rule_id, source); each identity present in either snapshot is
+    * classified `new` (current only), `resolved` (baseline only), or
+    * `persisting` (both), aggregated per (rule_id, status).
+    *
+    * Scale shape: both inputs are violation frames (~2% of the corpus by
+    * the standing design assumption); distinct + one full-outer shuffle
+    * join on the identity key, then a tiny aggregate — never a corpus
+    * scan. Feeding it [[graft.engine.ViolationStore.latest]] frames from
+    * two snapshots makes the whole diff a metadata-sized job.
+    */
+  def diffReport(current: DataFrame, baseline: DataFrame): DataFrame = {
+    val cur = current.select("doc_id", "rule_id", "source").distinct()
+      .withColumn("_cur", lit(1))
+    val base = baseline.select("doc_id", "rule_id", "source").distinct()
+      .withColumn("_base", lit(1))
+    cur.join(base, Seq("doc_id", "rule_id", "source"), "full_outer")
+      .select(col("rule_id"),
+        when(col("_cur").isNotNull && col("_base").isNotNull, "persisting")
+          .when(col("_cur").isNotNull, "new")
+          .otherwise("resolved").as("status"))
+      .groupBy("rule_id", "status")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Persist an assembled report as a snapshot-stamped parquet artifact —
     * the engine analogue of the reference writing one timestamped JSON
     * report per run (extraction/main.py:296-304). Returns the artifact

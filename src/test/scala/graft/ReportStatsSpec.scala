@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.StatsOps
+import graft.model.DetailedViolation
+import graft.operators.SampleOps
+import graft.report.ReportOps
+
+/** Round-5 operators: cross-snapshot violation diff, algebraic stats
+  * rollup, stratified sampling.
+  */
+class ReportStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def v(id: String, rule: String, src: String) =
+    DetailedViolation(id, rule, "d", "error", src)
+
+  test("diffReport classifies new / resolved / persisting per rule") {
+    val current = Seq(v("x", "r1", "A"), v("y", "r1", "A"), v("z", "r2", "N"),
+      v("x", "r1", "A")).toDF() // duplicate rows collapse by identity
+    val baseline = Seq(v("x", "r1", "A"), v("w", "r2", "N")).toDF()
+    val got = ReportOps.diffReport(current, baseline)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(
+      ("r1", "persisting", 1L), // x
+      ("r1", "new", 1L),        // y
+      ("r2", "new", 1L),        // z
+      ("r2", "resolved", 1L)))  // w
+    // identical snapshots → everything persisting, nothing new/resolved
+    val same = ReportOps.diffReport(baseline, baseline)
+      .as[(String, String, Long)].collect().toSet
+    assert(same === Set(("r1", "persisting", 1L), ("r2", "persisting", 1L)))
+  }
+
+  test("mergeable stats roll up to direct global stats from ANY grouping") {
+    val t = (0 until 500).map(i =>
+      (s"d$i", if (i % 107 == 0) null else Array(1, 2), (i * 13) % 61 + 1,
+        Seq("A", "N", "R", "Q")(i % 4)))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().head
+    // direct single-level aggregation (the ground truth)
+    val direct = rows(t.agg(
+      count(lit(1)).as("n_rows"), sum(col("n_tok")).as("sum"),
+      min(col("n_tok")).as("min"), max(col("n_tok")).as("max"),
+      sum(col("tokens").isNull.cast("long")).as("nulls"),
+      avg(col("n_tok")).as("avg"), var_pop(col("n_tok")).as("var")))
+    // rolled up from per-source partials
+    val merged = rows(StatsOps.mergeStatParts(StatsOps.mergeableStats(t)))
+    assert(merged.getAs[Long]("n_rows") === direct.getAs[Long]("n_rows"))
+    assert(merged.getAs[Long]("sum_n_tok") === direct.getAs[Long]("sum"))
+    assert(merged.getAs[Int]("min_n_tok") === direct.getAs[Int]("min"))
+    assert(merged.getAs[Int]("max_n_tok") === direct.getAs[Int]("max"))
+    assert(merged.getAs[Long]("null_tokens") === direct.getAs[Long]("nulls"))
+    assert(math.abs(merged.getAs[Double]("avg_n_tok")
+      - direct.getAs[Double]("avg")) < 1e-12)
+    assert(math.abs(merged.getAs[Double]("var_n_tok")
+      - direct.getAs[Double]("var")) < 1e-9)
+    // the rollup is grouping-invariant: partials keyed by a DIFFERENT
+    // column merge to the identical global row (exact integer accumulators
+    // — no float order dependence)
+    val byDoc = rows(StatsOps.mergeStatParts(
+      StatsOps.mergeableStats(t, by = "doc_id")))
+    assert(byDoc.toSeq === merged.toSeq)
+  }
+
+  test("stratified sample: per-stratum thresholds, layout-invariant") {
+    val t = (0 until 1000).map(i =>
+      (s"d$i", Seq("A", "N", "R", "Q")(i % 4))).toDF("doc_id", "stratum")
+    val pcts = Map("A" -> 50, "N" -> 10)
+    val got = SampleOps.stratifiedSample(t, "doc_id", "stratum", pcts, 25)
+    // equals the manual per-stratum hash predicate
+    val expect = t.where(
+      SampleOps.hashBucket(col("doc_id"), 100) <
+        when(col("stratum") === "A", 50)
+          .when(col("stratum") === "N", 10).otherwise(25))
+      .as[(String, String)].collect().toSet
+    assert(got.as[(String, String)].collect().toSet === expect)
+    assert(expect.nonEmpty)
+    // strata not in the map (R, Q) fall to the default threshold
+    val kept = got.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept("A") > kept("N")) // 50% vs 10%, 250 docs each
+    assert(kept.contains("R") && kept.contains("Q"))
+    // layout-invariance: same documents kept under any partitioning
+    val re = SampleOps.stratifiedSample(
+        t.repartition(9).orderBy(col("doc_id").desc),
+        "doc_id", "stratum", pcts, 25)
+      .as[(String, String)].collect().toSet
+    assert(re === expect)
+  }
+}
