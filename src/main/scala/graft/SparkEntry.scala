@@ -832,6 +832,33 @@ object Queries {
         Validator.violations(baselineTok(spark, dir), ruleSet, dims(spark)))
       .orderBy("rule_id", "status")
 
+  /** PSI drift (new in r5): per-source Population Stability Index of the
+    * n_tok distribution, current vs even-okey baseline — the production
+    * drift score beside the quantile and L1 views; arithmetic replayed
+    * exactly by the oracle (explicit 1e-6 share floor, round-6 score).
+    */
+  def vPsiDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.Drift.psiDrift(
+        tok(spark, dir), baselineTok(spark, dir), "n_tok",
+        bucketWidth = 10, threshold = 0.1)
+      .orderBy("source")
+
+  /** Approx-distinct cardinality certification (new in r5): per-source
+    * HLL++ doc_id cardinality (rsd 2%) checked against the exact count —
+    * the output is the exact count plus the bound VERDICT, so the oracle
+    * (which has no HLL) verifies that Spark's sketch landed within 3·rsd.
+    * At 100 TB only the sketch runs; this query is its certification at
+    * oracle scale (the recall-pinning pattern, cf. `d_minhash_recall`).
+    */
+  def vCardinality(spark: SparkSession, dir: String): DataFrame =
+    tok(spark, dir).groupBy("source").agg(
+        countDistinct(col("doc_id")).as("exact_distinct"),
+        approx_count_distinct(col("doc_id"), 0.02).as("approx_distinct"))
+      .select(col("source"), col("exact_distinct"),
+        (abs(col("approx_distinct") - col("exact_distinct")).cast("double")
+          <= col("exact_distinct") * lit(0.06)).as("within_bound"))
+      .orderBy("source")
+
   /** Quality ratio family (length/punct/stopword — the training-pipeline
     * quality-signal set beyond TTR).
     */
@@ -926,6 +953,8 @@ object Queries {
     "d_stratified_sample" -> (dStratifiedSample _),
     "v_stats_merged" -> (vStatsMerged _),
     "r_report_diff" -> (rReportDiff _),
+    "v_psi_drift" -> (vPsiDrift _),
+    "v_cardinality" -> (vCardinality _),
     "d_repetition" -> (dRepetition _),
     "d_quality_filter" -> (dQualityFilter _),
     "v_seq_packing" -> (vSeqPacking _),
@@ -1090,6 +1119,46 @@ object Queries {
          |       AND c.source = b.source)
          |SELECT rule_id, status, CAST(count(*) AS BIGINT) AS cnt
          |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // PSI over n_tok width-10 buckets, baseline = even-okey snapshot;
+    // identical share floor (1e-6) and round-6 score on both engines
+    "v_psi_drift" ->
+      s"""WITH $cte,
+         |hc AS (SELECT source, CAST(floor(n_tok/10.0) AS BIGINT) AS bucket,
+         |              count(*) AS cur_cnt FROM tok GROUP BY 1, 2),
+         |hb AS (SELECT source, CAST(floor(n_tok/10.0) AS BIGINT) AS bucket,
+         |              count(*) AS base_cnt FROM tok WHERE okey % 2 = 0
+         |       GROUP BY 1, 2),
+         |j AS (
+         |  SELECT coalesce(hc.source, hb.source) AS source,
+         |         coalesce(cur_cnt, 0) AS cur_cnt,
+         |         coalesce(base_cnt, 0) AS base_cnt
+         |  FROM hc FULL OUTER JOIN hb
+         |    ON hc.source = hb.source AND hc.bucket = hb.bucket),
+         |t AS (
+         |  SELECT source, cur_cnt, base_cnt,
+         |         sum(cur_cnt) OVER (PARTITION BY source) AS cur_tot,
+         |         sum(base_cnt) OVER (PARTITION BY source) AS base_tot
+         |  FROM j),
+         |p AS (
+         |  SELECT source,
+         |         greatest(CAST(cur_cnt AS DOUBLE)/cur_tot, 1e-6) AS pc,
+         |         greatest(CAST(base_cnt AS DOUBLE)/base_tot, 1e-6) AS pb
+         |  FROM t),
+         |sc AS (
+         |  SELECT source, round(sum((pc-pb)*ln(pc/pb)), 6) AS psi
+         |  FROM p GROUP BY source)
+         |SELECT source, psi, psi > 0.1 AS drifted
+         |FROM sc ORDER BY source""".stripMargin,
+
+    // the oracle has no HLL: it recomputes the exact side and pins the
+    // bound verdict Spark emitted (within_bound=false would hash-mismatch)
+    "v_cardinality" ->
+      s"""WITH $cte
+         |SELECT source,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_distinct,
+         |       true AS within_bound
+         |FROM tok GROUP BY source ORDER BY source""".stripMargin,
 
     // algebraic rollup == direct global aggregation: avg/var derived from
     // exact integer sums with the same one-double-op-each expressions

@@ -125,6 +125,47 @@ object Drift {
     * (bucketed by `bucketSize`). The explode is map-local; the aggregate is
     * two-phase keyed by (source, bucket) then (source) — no row-level join.
     */
+  /** Population Stability Index over a bucketed numeric column — the
+    * standard production drift score (sum over buckets of
+    * `(p_cur − p_base) · ln(p_cur / p_base)`; rule of thumb: <0.1 stable,
+    * >0.25 shifted). Same physical shape as [[tokenHistogramDrift]]: two
+    * histogram aggregates, one tiny full-outer join, window totals —
+    * never a re-scan for the totals. Zero shares are floored at 1e-6
+    * (explicitly, so the oracle replays the identical arithmetic); the
+    * final score is rounded to 6 decimals because the per-bucket double
+    * terms sum in nondeterministic order (1e-16-level noise — the L1
+    * variant avoids this with exact integer cross-products, but PSI's
+    * logarithm has no integer form).
+    */
+  def psiDrift(current: DataFrame, baseline: DataFrame, colName: String,
+      bucketWidth: Int, threshold: Double): DataFrame = {
+    def hist(df: DataFrame, cName: String): DataFrame =
+      df.groupBy(col("source"),
+          floor(col(colName) / bucketWidth.toDouble).cast("bigint")
+            .as("bucket"))
+        .agg(count(lit(1)).as(cName))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val eps = 1e-6
+    hist(current, "cur_cnt")
+      .join(hist(baseline, "base_cnt"), Seq("source", "bucket"), "full_outer")
+      .select(col("source"),
+        coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"),
+        coalesce(col("base_cnt"), lit(0L)).as("base_cnt"))
+      .select(col("source"), col("cur_cnt"), col("base_cnt"),
+        sum(col("cur_cnt")).over(w).as("cur_tot"),
+        sum(col("base_cnt")).over(w).as("base_tot"))
+      .select(col("source"),
+        greatest(col("cur_cnt").cast("double") / col("cur_tot"), lit(eps))
+          .as("pc"),
+        greatest(col("base_cnt").cast("double") / col("base_tot"), lit(eps))
+          .as("pb"))
+      .groupBy("source")
+      .agg(round(sum((col("pc") - col("pb")) * log(col("pc") / col("pb"))), 6)
+        .as("psi"))
+      .select(col("source"), col("psi"),
+        (col("psi") > threshold).as("drifted"))
+  }
+
   def tokenHistogramDrift(
       current: DataFrame, baseline: DataFrame, bucketSize: Int): DataFrame = {
     def hist(df: DataFrame, cName: String): DataFrame =

@@ -33,7 +33,7 @@ object Validate {
   final case class Args(
       tokens: String, rules: String, dims: Option[String],
       manifest: String, snapshot: Long, report: Option[String],
-      violations: Option[String])
+      violations: Option[String], prune: Boolean)
 
   def parseArgs(argv: Array[String]): Args = {
     val m = argv.sliding(2, 2).collect {
@@ -46,7 +46,8 @@ object Validate {
       manifest = m("manifest"),
       snapshot = m.getOrElse("snapshot", "0").toLong,
       report = m.get("report"),
-      violations = m.get("violations"))
+      violations = m.get("violations"),
+      prune = m.get("prune").exists(_.toBoolean))
   }
 
   final case class RunOutcome(
@@ -56,7 +57,11 @@ object Validate {
         * means the run is partial; `main` prints the count and exits
         * nonzero so an orchestrator can't misread it as clean.
         */
-      failed: Seq[String] = Nil)
+      failed: Seq[String] = Nil,
+      /** Superseded violation-store generations deleted (only when the run
+        * was invoked with pruning on).
+        */
+      pruned: Int = 0)
 
   /** One resumable routed run (the testable core; `main` is arg plumbing).
     * Delegates the lifecycle — resume-by-anti-join, ONE batched job over
@@ -79,7 +84,8 @@ object Validate {
       dimsJson: Option[String], manifestPath: String, snapshotId: Long,
       reportDir: Option[String],
       metadataRules: Seq[String] = Nil,
-      violationsDir: Option[String] = None): RunOutcome = {
+      violationsDir: Option[String] = None,
+      pruneSuperseded: Boolean = false): RunOutcome = {
     val routing = RuleSetLoader.parse(rulesJson)
     val dims = dimsJson.map(DimensionLoader.parse(spark, _))
       .getOrElse(Map.empty)
@@ -101,8 +107,18 @@ object Validate {
         metadataRules)
       ReportOps.persistReport(rep, dir, snapshotId)
     }
+    // after the generation this run appended (and the report, which reads
+    // the store): reclaim generations every source of which has been
+    // superseded — the scheduler hook that keeps a long-lived snapshot's
+    // artifact directory from accumulating one gen= per resumed run.
+    // Single-writer contract (ViolationStore Scaladoc): runs sequentially
+    // with the validation itself, never beside another writer.
+    val pruned =
+      if (pruneSuperseded)
+        graft.engine.ViolationStore.prune(spark, vDir, snapshotId)
+      else 0
     RunOutcome(result.validatedPartitions, result.skippedPartitions,
-      result.summary, reportPath, result.failedPartitions)
+      result.summary, reportPath, result.failedPartitions, pruned)
   }
 
   def main(argv: Array[String]): Unit = {
@@ -117,14 +133,14 @@ object Validate {
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
         val out = run(spark, spark.read.parquet(args.tokens), rulesJson,
           dimsJson, args.manifest, args.snapshot, args.report,
-          violationsDir = args.violations)
+          violationsDir = args.violations, pruneSuperseded = args.prune)
         val rows = out.summary.orderBy("source").collect().map { r =>
           s"""{"source":"${r.getString(0)}","n_rows":${r.getLong(1)},""" +
             s""""n_violations":${r.getLong(2)},"pass":${r.getBoolean(3)}}"""
         }.mkString("[", ",", "]")
         println(s"""{"validated":${out.validated.size},""" +
           s""""skipped":${out.skipped.size},"failed":${out.failed.size},""" +
-          s""""summary":$rows""" +
+          s""""pruned":${out.pruned},"summary":$rows""" +
           out.reportPath.map(p => s""","report":"$p"""").getOrElse("") + "}")
         out.failed.size
       } finally spark.stop()

@@ -86,6 +86,25 @@ class DriftSpec extends SparkSpec {
     assert(Drift.kllRankEps(2000) < Drift.kllRankEps(200))
   }
 
+  test("PSI drift: zero on identical, large on disjoint, monotone in shift") {
+    val base = mk("A", 1 to 100).toDF
+    val same = Drift.psiDrift(base, base, "n_tok", 10, 0.1).collect().head
+    assert(same.getAs[Double]("psi") === 0.0)
+    assert(!same.getAs[Boolean]("drifted"))
+    // a full distribution shift (disjoint buckets) scores far above any
+    // threshold: every bucket's share moves between ~1/10 and the 1e-6
+    // floor, each term ~0.1·ln(10^5)
+    val shifted = mk("A", (1 to 100).map(_ + 200)).toDF
+    val far = Drift.psiDrift(shifted, base, "n_tok", 10, 0.1).collect().head
+    assert(far.getAs[Boolean]("drifted"))
+    assert(far.getAs[Double]("psi") > 2.0)
+    // a mild shift scores between the two
+    val mild = mk("A", (1 to 100).map(_ + 15)).toDF
+    val mid = Drift.psiDrift(mild, base, "n_tok", 10, 0.1).collect().head
+    assert(mid.getAs[Double]("psi") > 0.0 &&
+      mid.getAs[Double]("psi") < far.getAs[Double]("psi"))
+  }
+
   test("token histogram drift: zero on identical, positive on disjoint") {
     val a = Seq(TokenRow("x", Array(10, 20, 30), 3, "A")).toDF
     val b = Seq(TokenRow("y", Array(5010, 5020, 5030), 3, "A")).toDF

@@ -182,4 +182,38 @@ class LifecycleSpec extends SparkSpec {
     assert(rep.columns.toSeq === Seq("category", "severity_rank", "color",
       "severity", "rule_id", "detail_generic", "cnt"))
   }
+
+  test("Validate --prune reclaims superseded violation generations") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vprune").toString
+    val manifest = s"$tmp/manifest"
+    val rulesJson =
+      """{ "ruleSets": {
+        |    "default": [
+        |      {"type":"notNull","id":"nn","column":"tokens","severity":"fatal"},
+        |      {"type":"lengthConsistency","id":"lc","arrayColumn":"tokens","lengthColumn":"n_tok"}
+        |    ]},
+        |  "routing": {}, "defaultRuleSet": "default" }""".stripMargin
+    val tok = TokenTable.tokens(spark, sf0001)
+    // leg 1 validates only A → generation 1 covers {A}; the manifest is
+    // then lost (simulated coordinator reset) so the re-run re-validates
+    // EVERYTHING → generation 2 covers {A, N, R, …} and generation 1 is
+    // fully superseded
+    val out1 = graft.tools.Validate.run(spark,
+      tok.where(col("source") === "A"), rulesJson, None, manifest, 7L, None)
+    assert(out1.validated === Seq("A") && out1.pruned === 0)
+    graft.sources.Fs.delete(spark, manifest)
+    val out2 = graft.tools.Validate.run(spark, tok, rulesJson, None,
+      manifest, 7L, None, pruneSuperseded = true)
+    assert(out2.validated.contains("A"))
+    assert(out2.pruned === 1, "superseded generation not reclaimed")
+    // the surviving store still reconstructs the full violation set
+    val stored = graft.engine.ViolationStore.latest(
+      spark, s"${manifest}_violations", 7L)
+    val live = Validator.violations(tok,
+      RuleSet("rr", Seq(NotNullRule("nn", "tokens", "fatal"),
+        LengthConsistencyRule("lc", "tokens", "n_tok"))),
+      Map.empty)
+    assert(stored.count() === live.count())
+    assert(stored.count() > 0)
+  }
 }
