@@ -476,6 +476,28 @@ object Queries {
       .orderBy("window_start", "source")
   }
 
+  /** Backward AS-OF join (new in r5): every click aligned with the user's
+    * latest view at-or-before it — the feature-lookup / attribution
+    * primitive. Engine: union + one running window (one shuffle, no range
+    * explosion); oracle: DuckDB's NATIVE `ASOF LEFT JOIN`, so two
+    * independent formulations must agree row for row.
+    */
+  def eAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        col("value").as("view_value"), col("event_id").as("view_event"))
+    graft.operators.JoinOps.asofJoinBackward(
+        clicks, views, "user_id", "ts",
+        pickCols = Seq("view_value", "view_event"),
+        tieBreak = Some("view_event"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("view_value"), col("view_event"))
+      .orderBy("event_id")
+  }
+
   /** Structured Streaming validation over the token table as a bounded
     * stream (Trigger.AvailableNow) — same violation counts as batch.
     */
@@ -954,6 +976,7 @@ object Queries {
     "v_stats_merged" -> (vStatsMerged _),
     "r_report_diff" -> (rReportDiff _),
     "v_psi_drift" -> (vPsiDrift _),
+    "e_asof_join" -> (eAsofJoin _),
     "v_cardinality" -> (vCardinality _),
     "d_repetition" -> (dRepetition _),
     "d_quality_filter" -> (dQualityFilter _),
@@ -1159,6 +1182,17 @@ object Queries {
          |       CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_distinct,
          |       true AS within_bound
          |FROM tok GROUP BY source ORDER BY source""".stripMargin,
+
+    // two independent as-of formulations: the engine's union+running-window
+    // carry-forward vs DuckDB's native ASOF LEFT JOIN (inclusive backward
+    // match on l.ts >= r.ts within user_id)
+    "e_asof_join" ->
+      """SELECT c.event_id, c.user_id, c.value,
+        |       v.value AS view_value, v.event_id AS view_event
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin,
 
     // algebraic rollup == direct global aggregation: avg/var derived from
     // exact integer sums with the same one-double-op-each expressions
