@@ -498,6 +498,38 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Gap-based sessionization (new in r5): 30-minute-gap sessions per user
+    * over the events table — per-session event counts and exact-microsecond
+    * spans; the oracle runs the identical gaps-and-islands windows.
+    */
+  def eSessionize(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionOps.sessionSummary(
+        spark.read.parquet(s"$dir/events.parquet"),
+        "user_id", "ts", gapUs = 30L * 60 * 1000000)
+      .orderBy("user_id", "session")
+
+  /** Rollup aggregate (new in r5): violation counts by (source, rule_id)
+    * WITH subtotal and grand-total rows — the grouping-sets surface over
+    * the rule matrix (null grouping columns mark the rollup levels, same
+    * convention in both engines).
+    */
+  def vRollupMatrix(spark: SparkSession, dir: String): DataFrame =
+    detailed(spark, dir)
+      .rollup("source", "rule_id")
+      .agg(count(lit(1)).as("violations"))
+      .orderBy(col("source").asc_nulls_first, col("rule_id").asc_nulls_first)
+
+  /** Intersect (new in r5): rule ids firing in BOTH the current and the
+    * even-okey baseline snapshot — set-op completeness beside the except
+    * in `r_fdpg_split`.
+    */
+  def rRuleOverlap(spark: SparkSession, dir: String): DataFrame =
+    detailed(spark, dir).select("rule_id")
+      .intersect(
+        Validator.violations(baselineTok(spark, dir), ruleSet, dims(spark))
+          .select("rule_id"))
+      .orderBy("rule_id")
+
   /** Structured Streaming validation over the token table as a bounded
     * stream (Trigger.AvailableNow) — same violation counts as batch.
     */
@@ -977,6 +1009,9 @@ object Queries {
     "r_report_diff" -> (rReportDiff _),
     "v_psi_drift" -> (vPsiDrift _),
     "e_asof_join" -> (eAsofJoin _),
+    "e_sessionize" -> (eSessionize _),
+    "v_rollup_matrix" -> (vRollupMatrix _),
+    "r_rule_overlap" -> (rRuleOverlap _),
     "v_cardinality" -> (vCardinality _),
     "d_repetition" -> (dRepetition _),
     "d_quality_filter" -> (dQualityFilter _),
@@ -1193,6 +1228,44 @@ object Queries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    // gaps-and-islands sessionization, exact integer microseconds
+    "e_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |                   > 30*60*1000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, us,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS session
+        |  FROM g)
+        |SELECT user_id, CAST(session AS BIGINT) AS session,
+        |       count(*) AS n_events,
+        |       CAST(max(us) - min(us) AS BIGINT) AS span_us
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session""".stripMargin,
+
+    // rollup levels marked by NULL grouping columns in both engines
+    "v_rollup_matrix" ->
+      s"""WITH $violationsCte
+         |SELECT source, rule_id, CAST(count(*) AS BIGINT) AS violations
+         |FROM v GROUP BY ROLLUP(source, rule_id)
+         |ORDER BY source NULLS FIRST, rule_id NULLS FIRST""".stripMargin,
+
+    // set-op completeness: INTERSECT beside r_fdpg_split's EXCEPT
+    "r_rule_overlap" ->
+      s"""WITH $cte,
+         |tokb AS (SELECT * FROM tok WHERE okey % 2 = 0),
+         |${violationsOver("tok", "vc")},
+         |${violationsOver("tokb", "vb")}
+         |SELECT rule_id FROM vc
+         |INTERSECT
+         |SELECT rule_id FROM vb
+         |ORDER BY rule_id""".stripMargin,
 
     // algebraic rollup == direct global aggregation: avg/var derived from
     // exact integer sums with the same one-double-op-each expressions

@@ -44,6 +44,32 @@ class JoinOpsSpec extends SparkSpec {
       103L -> Some("c")))  // ts=9 for key 2
   }
 
+  test("sessionize: gap boundary is inclusive, sessions number per key") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(100)),        // session 1
+      (1L, ts(100 + 1800)),              // gap == 30min exactly → SAME session
+      (1L, ts(100 + 1800 + 1801)),       // gap > 30min → session 2
+      (2L, ts(50))                       // other key: own session 1
+    ).toDF("user_id", "ts")
+    val got = graft.operators.SessionOps.sessionSummary(
+        ev, "user_id", "ts", gapUs = 30L * 60 * 1000000)
+      .select("user_id", "session", "n_events", "span_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 3L, 1900L * 1000000),
+      (1L, 2L, 1L, 0L),
+      (2L, 1L, 1L, 0L)))
+    // layout-invariant
+    val re = graft.operators.SessionOps.sessionSummary(
+        ev.repartition(5).orderBy(rand(3)), "user_id", "ts",
+        gapUs = 30L * 60 * 1000000)
+      .select("user_id", "session", "n_events", "span_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(re === got)
+  }
+
   test("as-of picks travel as one row; ties resolve by tieBreak") {
     // two right rows at the SAME (key, ts): the larger tieBreak wins, and
     // BOTH picked columns must come from that same winning row
