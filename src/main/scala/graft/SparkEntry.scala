@@ -521,14 +521,26 @@ object Queries {
 
   /** Intersect (new in r5): rule ids firing in BOTH the current and the
     * even-okey baseline snapshot — set-op completeness beside the except
-    * in `r_fdpg_split`.
+    * in `r_fdpg_split` (the oracle runs a literal SQL INTERSECT).
+    *
+    * NOT `Dataset.intersect`: Spark plans INTERSECT as a left-semi join,
+    * and `PushLeftSemiThroughUnion` re-embeds the right subtree into
+    * every branch of the violations union — even with both sides
+    * distinct-aggregated first, the plan read 10 scans where 6 are
+    * structural (the ScanSweep class of bug). The intersected domain is
+    * the RULE VOCABULARY (driver-sized by definition), so the baseline
+    * side collects once and scopes the current side as an `isin`
+    * predicate — the same shape as `includeSources`, each violations
+    * subtree planned exactly once.
     */
-  def rRuleOverlap(spark: SparkSession, dir: String): DataFrame =
-    detailed(spark, dir).select("rule_id")
-      .intersect(
-        Validator.violations(baselineTok(spark, dir), ruleSet, dims(spark))
-          .select("rule_id"))
+  def rRuleOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val baseRules =
+      Validator.violations(baselineTok(spark, dir), ruleSet, dims(spark))
+        .select("rule_id").distinct().collect().map(_.getString(0)).toSeq
+    detailed(spark, dir).select("rule_id").distinct()
+      .where(col("rule_id").isin(baseRules: _*))
       .orderBy("rule_id")
+  }
 
   /** Structured Streaming validation over the token table as a bounded
     * stream (Trigger.AvailableNow) — same violation counts as batch.
