@@ -542,6 +542,28 @@ object Queries {
       .orderBy("rule_id")
   }
 
+  /** Streaming session windows (new in r5): native `session_window`
+    * aggregation per user over the events stream, append mode — only
+    * sessions the final watermark (`max(ts) − 1h`) has closed are
+    * emitted, exactly what an unbounded deployment would have shipped.
+    * The oracle recomputes sessions in batch (gaps-and-islands with the
+    * streaming operator's EXCLUSIVE gap boundary) and applies the same
+    * cutoff.
+    */
+  def sSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.EventSource.materializedPath(spark, dir)
+    graft.streaming.StreamingSessions.runSessionsAvailableNow(spark, path,
+        graft.sources.EventSource.schema, "ts", "user_id",
+        gap = "30 minutes", watermarkDur = "1 hour")
+      .select(
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("user_id"), col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** Structured Streaming validation over the token table as a bounded
     * stream (Trigger.AvailableNow) — same violation counts as batch.
     */
@@ -1022,6 +1044,7 @@ object Queries {
     "v_psi_drift" -> (vPsiDrift _),
     "e_asof_join" -> (eAsofJoin _),
     "e_sessionize" -> (eSessionize _),
+    "s_sessionize" -> (sSessionize _),
     "v_rollup_matrix" -> (vRollupMatrix _),
     "r_rule_overlap" -> (rRuleOverlap _),
     "v_cardinality" -> (vCardinality _),
@@ -1260,6 +1283,35 @@ object Queries {
         |       count(*) AS n_events,
         |       CAST(max(us) - min(us) AS BIGINT) AS span_us
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session""".stripMargin,
+
+    // streaming session windows: batch gaps-and-islands with the
+    // EXCLUSIVE boundary (event exactly `gap` later opens a new session)
+    // + the final-watermark cutoff, mirroring s_window_drift's oracle
+    "s_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |                   >= 30*60*1000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS session
+        |  FROM g),
+        |agg AS (
+        |  SELECT user_id, session, min(ts) AS session_start,
+        |         max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |         count(*) AS n_events
+        |  FROM s GROUP BY 1, 2)
+        |SELECT strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       user_id, n_events
+        |FROM agg
+        |WHERE session_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // rollup levels marked by NULL grouping columns in both engines
     "v_rollup_matrix" ->
