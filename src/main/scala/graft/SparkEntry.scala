@@ -901,6 +901,43 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Per-source TF-IDF top terms (new in r5): the domain-profiling
+    * aggregate of the text family — tf over the source, idf over document
+    * frequency, deterministic top-5 per source; the oracle replays the
+    * identical ln() arithmetic at round 6.
+    */
+  def dTfidfTopk(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfTopK(docs(spark, dir), k = 5)
+      .orderBy("source", "rank")
+
+  /** Word-distribution Shannon entropy per document (new in r5): the
+    * information-density quality signal; exact integer counts, one
+    * division + log2 per distinct word, round-6 oracle replay.
+    */
+  def dEntropy(spark: SparkSession, dir: String): DataFrame =
+    TextOps.wordEntropy(docs(spark, dir)).orderBy("doc_id")
+
+  /** Cross-source duplicate overlap matrix (new in r5): distinct exact
+    * fingerprints shared per source pair — the domain-contamination view
+    * a mixing strategy reads before weighting sources.
+    */
+  def dSourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.sourceOverlapMatrix(docs(spark, dir))
+      .orderBy("source_a", "source_b")
+
+  /** Ordered event funnel (new in r5): view → click → purchase per user,
+    * each step strictly after the previous step's reach time and within a
+    * 24-hour conversion window; per-step distinct-user conversion counts
+    * (150 → 60 → 25 at sf0.01 — real drop-off, not saturation). The
+    * oracle chains the same conditional mins as step-wise joins.
+    */
+  def eFunnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.funnelSummary(
+        spark.read.parquet(s"$dir/events.parquet"),
+        Seq("view", "click", "purchase"),
+        withinSeconds = Some(24L * 3600))
+      .orderBy("step_idx")
+
   /** Algebraic stats rollup (new in r5): per-source mergeable accumulators
     * rolled up to ONE global row, avg/variance derived from the merged
     * exact integer sums — must equal direct global aggregation (the
@@ -1052,6 +1089,10 @@ object Queries {
     "d_quality_filter" -> (dQualityFilter _),
     "v_seq_packing" -> (vSeqPacking _),
     "v_seq_packing2" -> (vSeqPacking2 _),
+    "d_tfidf_topk" -> (dTfidfTopk _),
+    "d_entropy" -> (dEntropy _),
+    "d_source_overlap" -> (dSourceOverlap _),
+    "e_funnel" -> (eFunnel _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -2230,5 +2271,72 @@ object Queries {
         |       CAST(16 + length(text) % 64 AS INT) AS width,
         |       CAST(16 + (length(text) // 64) % 64 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d_tfidf_topk" ->
+      """WITH dw AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+        |  FROM documents),
+        |tf AS (SELECT source, word, count(*) AS tf FROM dw GROUP BY source, word),
+        |df AS (SELECT word, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, word FROM dw) GROUP BY word),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT source, word, tf, df,
+        |         round(CAST(tf AS DOUBLE) *
+        |               ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+        |  FROM tf JOIN df USING (word) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT source, word, tf, df, tfidf,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY source ORDER BY tfidf DESC, word ASC) AS INT)
+        |           AS rank
+        |  FROM scored)
+        |SELECT source, rank, word, tf, df, tfidf
+        |FROM ranked WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    "d_entropy" ->
+      """WITH dw AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+        |         unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_words, word, count(*) AS cnt
+        |      FROM dw GROUP BY doc_id, n_words, word)
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+        |       count(*) AS n_distinct_words,
+        |       round(-sum((CAST(cnt AS DOUBLE) / n_words)
+        |                  * log2(CAST(cnt AS DOUBLE) / n_words)) + 0.0, 6)
+        |         AS word_entropy
+        |FROM c GROUP BY doc_id, n_words ORDER BY doc_id""".stripMargin,
+
+    "d_source_overlap" ->
+      """WITH fp AS (
+        |  SELECT DISTINCT source,
+        |         md5(array_to_string(list_sort(list_distinct(
+        |           list_filter(string_split(text, ' '), w -> w <> ''))), ' ')) AS fp
+        |  FROM documents)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |       count(*) AS shared_fingerprints
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY a.source, b.source ORDER BY source_a, source_b""".stripMargin,
+
+    "e_funnel" ->
+      """WITH t0 AS (SELECT user_id, min(ts) AS t0 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |t1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+        |       JOIN t0 ON e.user_id = t0.user_id AND e.ts > t0.t0
+        |                  AND e.ts <= t0.t0 + INTERVAL 24 HOUR
+        |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+        |                  AND e.ts <= t1.t1 + INTERVAL 24 HOUR
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_keys FROM t0
+        |UNION ALL
+        |SELECT 2, 'click', count(*) FROM t1
+        |UNION ALL
+        |SELECT 3, 'purchase', count(*) FROM t2
+        |ORDER BY step_idx""".stripMargin,
   )
 }

@@ -84,6 +84,28 @@ object DedupOps {
         (col("doc_id") === col("keeper")).as("keep"))
   }
 
+  /** Cross-source duplicate OVERLAP matrix: for every source pair, how many
+    * distinct fingerprints both contain — the domain-contamination view of
+    * exact dedup ("how much of domain A is republished in domain B"), the
+    * aggregate a mixing strategy reads before weighting sources.
+    *
+    * Shape: distinct (fp, source) — one aggregate over the slim fingerprint
+    * projection — then a self-join keyed on `fp`. The join's per-key frames
+    * are the SOURCES sharing a fingerprint (bounded by |sources|, never by
+    * corpus size), so the worst row explosion is |sources|² per duplicated
+    * fingerprint; the output matrix is |sources|² rows total.
+    */
+  def sourceOverlapMatrix(docs: DataFrame): DataFrame = {
+    val fpSrc = docs
+      .select(col("source"), TextOps.fingerprint(col("text")).as("fp"))
+      .distinct()
+    fpSrc.select(col("fp"), col("source").as("source_a"))
+      .join(fpSrc.select(col("fp"), col("source").as("source_b")), Seq("fp"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_fingerprints"))
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   /** Word w-shingles of a text column as an array of strings. */

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence analytics over an event stream
+  * `(event_id, ts, user_id, event_type, value, props)` — the funnel / path
+  * operators a product-analytics engine runs beside the validation pass
+  * (the reference validates per-page resource batches sequentially,
+  * /root/reference/extraction/main.py:164-199; the funnel is the same
+  * "ordered steps per key" shape applied to events).
+  */
+object EventOps {
+
+  /** Ordered funnel: for each key, the earliest time each step can be
+    * reached such that steps occur IN ORDER (step i strictly after the
+    * reached time of step i-1, and — with `withinSeconds` set — at most
+    * that long after it, the windowed-conversion form every product funnel
+    * uses). Returns one row per key with the reached timestamp per step
+    * (null once the chain breaks).
+    *
+    * Formulation: step 1's reach time is `min(ts where type=step1)`; step
+    * i's is `min(ts where type=stepᵢ AND ts > reach(i-1) [AND ts ≤
+    * reach(i-1)+window])`. A per-key conditional min depends on the
+    * previous step's min, so a single groupBy cannot express it; instead
+    * each step is one hash aggregate of the events joined to the PREVIOUS
+    * step's per-key frame — k-1 shuffles of key-cardinality frames, never
+    * of the event table itself (the event table shuffles ONCE per step on
+    * `keyCol`, map-side combined and filtered to that step's type first).
+    *
+    * Scale shape: every join and aggregate keys on the SAME `keyCol`, so
+    * exchange reuse keeps them co-partitioned; with k steps the plan is k
+    * aggregates of strictly shrinking frames. No windows, no collect_list
+    * (a per-key event list would put a whole key in one task's memory —
+    * this formulation never materializes one).
+    */
+  def funnelTimes(events: DataFrame, steps: Seq[String],
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type",
+      withinSeconds: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.where(col(typeCol) === steps.head)
+      .groupBy(col(keyCol))
+      .agg(min(col(tsCol)).as(s"t0"))
+    steps.zipWithIndex.drop(1).foldLeft(first) { case (acc, (step, i)) =>
+      val prev = s"t${i - 1}"
+      val deadline = withinSeconds
+        .map(s => col("_ts") <= col("_prev") + expr(s"INTERVAL $s SECOND"))
+        .getOrElse(lit(true))
+      val nxt = events.where(col(typeCol) === step)
+        .select(col(keyCol), col(tsCol).as("_ts"))
+        .join(acc.select(col(keyCol), col(prev).as("_prev")), Seq(keyCol))
+        .where(col("_ts") > col("_prev") && deadline)
+        .groupBy(col(keyCol)).agg(min(col("_ts")).as(s"t$i"))
+      acc.join(nxt, Seq(keyCol), "left")
+    }
+  }
+
+  /** Funnel summary: how many keys reached each step (in order). The
+    * conversion report built on [[funnelTimes]] — one row per step with
+    * the step name, 1-based index, and distinct keys that reached it.
+    */
+  def funnelSummary(events: DataFrame, steps: Seq[String],
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type",
+      withinSeconds: Option[Long] = None): DataFrame = {
+    val times = funnelTimes(events, steps, keyCol, tsCol, typeCol,
+      withinSeconds)
+    val perStep = steps.zipWithIndex.map { case (step, i) =>
+      times.agg(count(col(s"t$i")).as("n_keys"))
+        .select(lit(i + 1).as("step_idx"), lit(step).as("step"),
+          col("n_keys"))
+    }
+    perStep.reduce(_.unionByName(_))
+  }
+}

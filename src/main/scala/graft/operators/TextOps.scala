@@ -264,6 +264,71 @@ object TextOps {
       reason.as("reason"), (reason === "ok").as("keep"))
   }
 
+  /** Per-source characteristic terms by TF-IDF (tf = word occurrences in
+    * the source; idf = ln(n_docs / n_docs containing the word) — the
+    * standard corpus-profiling view "what words mark this domain", the
+    * aggregate form of the quality-signal family). Returns the top-k terms
+    * per source, rank 1..k, deterministic tie-break (score desc, word asc).
+    *
+    * Shape: one explode + two hash aggregates (map-side combined). The
+    * tf⋈df join keys on `word`; df is vocabulary-sized (unbounded at
+    * 100 TB), so it stays a shuffle join — but both sides are already
+    * word-keyed aggregates, so the exchange is reused, and the final
+    * top-k windows over source-keyed frames of |vocab| rows, never the
+    * corpus. The doc count joins as a broadcast scalar.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // distinct (doc, word) pairs feed df; (source, word) occurrences feed tf
+    val docWords = docs
+      .select(col("doc_id"), col("source"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("source"), explode(col("ws")).as("word"))
+    val tf = docWords.groupBy("source", "word")
+      .agg(count(lit(1)).as("tf"))
+    val df = docWords.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("word"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("source"), col("word"), col("tf"), col("df"),
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+          .as("tfidf"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("tfidf").desc, col("word").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("source", "rank", "word", "tf", "df", "tfidf")
+  }
+
+  /** Shannon entropy (bits) of each document's word distribution — the
+    * information-density quality signal beside TTR and the repetition
+    * fractions: near-zero marks single-phrase spam, the maximum
+    * log2(n_distinct) marks no repetition at all.
+    *
+    * One explode + two hash aggregates; the per-(doc, word) shuffle is the
+    * same key-shape as every per-document aggregate here. −Σ p·log2(p) is
+    * computed from exact integer counts with one division per word, so the
+    * oracle replays it bit-for-bit up to summation order (round 6 masks
+    * the last-ulp associativity difference).
+    */
+  def wordEntropy(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_words"), col("ws"))
+      .select(col("doc_id"), col("n_words"), explode(col("ws")).as("word"))
+      .groupBy("doc_id", "n_words", "word")
+      .agg(count(lit(1)).as("cnt"))
+    val p = col("cnt").cast("double") / col("n_words").cast("double")
+    counts.groupBy("doc_id", "n_words")
+      // + 0.0 normalizes the single-distinct-word case: −sum(0.0) is IEEE
+      // −0.0, which is not byte-equal to the oracle's 0.0
+      .agg(round(-sum(p * log2(p)) + lit(0.0), 6).as("word_entropy"),
+        count(lit(1)).as("n_distinct_words"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        col("word_entropy"))
+  }
+
   /** Document fingerprint: md5 of the sorted distinct word set — the
     * canonical-form fingerprint used for exact near-order-insensitive dedup.
     */

@@ -40,6 +40,39 @@ class TextOpsSpec extends SparkSpec {
     assert(fp(1L) === fp(3L))
     assert(fp(1L) !== fp(2L))
   }
+
+  test("tfidf: source-frequent + doc-rare word ranks first, exact ln value") {
+    val d = Seq(
+      (1L, "apple apple apple banana", "s1"),
+      (2L, "apple cherry", "s1"),
+      (3L, "banana dog", "s2"),
+      (4L, "dog dog cherry", "s2")
+    ).toDF("doc_id", "text", "source")
+    val got = TextOps.tfidfTopK(d, k = 2).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getString(2), r.getDouble(5))).toMap
+    // every word is in exactly 2 of 4 docs -> idf = ln 2 for all; rank is
+    // by tf: apple tf=4 in s1, dog tf=3 in s2
+    val ln2 = math.log(2.0)
+    assert(got(("s1", 1))._1 === "apple")
+    assert(got(("s1", 1))._2 === BigDecimal(4 * ln2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(("s2", 1))._1 === "dog")
+  }
+
+  test("word entropy: exact bits for uniform and degenerate distributions") {
+    val d = Seq(
+      (1L, "a a b b"),          // two words, uniform -> 1 bit
+      (2L, "a b c d"),          // four distinct, uniform -> 2 bits
+      (3L, "a a a a")           // single word -> 0 bits (and not -0.0)
+    ).toDF("doc_id", "text")
+    val got = TextOps.wordEntropy(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("word_entropy")).toMap
+    assert(got(1L) === 1.0)
+    assert(got(2L) === 2.0)
+    assert(got(3L) === 0.0)
+    assert(java.lang.Double.doubleToRawLongBits(got(3L)) === 0L) // not -0.0
+  }
 }
 
 class DedupOpsSpec extends SparkSpec {
@@ -58,6 +91,18 @@ class DedupOpsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("keeper"),
         r.getAs[Boolean]("keep"))).toSet
     assert(got === Set((1L, 1L, true), (2L, 1L, false)))
+  }
+
+  test("source overlap matrix counts distinct shared fingerprints per pair") {
+    val d = Seq(
+      (1L, "a b c", "s1"), (2L, "x y z", "s1"),
+      (3L, "c b a", "s2"),               // same word set as 1 -> shared fp
+      (4L, "p q r", "s2"), (5L, "p q r", "s2"), // dup INSIDE s2: no pair row
+      (6L, "q p r", "s3")                // shares with s2 only
+    ).toDF("doc_id", "text", "source")
+    val got = DedupOps.sourceOverlapMatrix(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("s1", "s2") -> 1L, ("s2", "s3") -> 1L))
   }
 
   test("minhash LSH finds exact and near dups, not unrelated") {
@@ -522,5 +567,55 @@ class MultimodalSpec extends SparkSpec {
       graft.sources.DimensionLoader.parse(spark,
         """{"valueSets": {"oops": "not-an-array"}}""")
     }
+  }
+}
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import java.sql.Timestamp
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def events = Seq(
+    // user 1: completes view -> click -> purchase inside the window
+    (1L, ts("2024-01-01 00:00:00"), "view"),
+    (1L, ts("2024-01-01 01:00:00"), "click"),
+    (1L, ts("2024-01-01 02:00:00"), "purchase"),
+    // user 2: click 30h after view - outside the 24h conversion window
+    (2L, ts("2024-01-01 00:00:00"), "view"),
+    (2L, ts("2024-01-02 06:00:00"), "click"),
+    // user 3: click with no view - never enters the funnel
+    (3L, ts("2024-01-01 00:00:00"), "click"),
+    // user 4: purchase BEFORE the click - ordered funnel must not count it
+    (4L, ts("2024-01-01 00:00:00"), "purchase"),
+    (4L, ts("2024-01-01 01:00:00"), "view"),
+    (4L, ts("2024-01-01 02:00:00"), "click"),
+    // user 5: click at the SAME instant as view - strictly-after excludes it
+    (5L, ts("2024-01-01 00:00:00"), "view"),
+    (5L, ts("2024-01-01 00:00:00"), "click")
+  ).toDF("user_id", "ts", "event_type")
+
+  test("windowed ordered funnel: order, window, and strictness enforced") {
+    val got = graft.operators.EventOps.funnelSummary(
+        events, Seq("view", "click", "purchase"),
+        withinSeconds = Some(24L * 3600))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got === Map(1 -> 4L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("funnel times walk strictly forward per key") {
+    val t = graft.operators.EventOps.funnelTimes(
+        events, Seq("view", "click", "purchase"),
+        withinSeconds = Some(24L * 3600))
+      .where($"user_id" === 1L).collect().head
+    assert(t.getAs[Timestamp]("t0") === ts("2024-01-01 00:00:00"))
+    assert(t.getAs[Timestamp]("t1") === ts("2024-01-01 01:00:00"))
+    assert(t.getAs[Timestamp]("t2") === ts("2024-01-01 02:00:00"))
+    // user 2: t1 null (window exceeded)
+    val u2 = graft.operators.EventOps.funnelTimes(
+        events, Seq("view", "click", "purchase"),
+        withinSeconds = Some(24L * 3600))
+      .where($"user_id" === 2L).collect().head
+    assert(u2.isNullAt(u2.fieldIndex("t1")))
   }
 }
