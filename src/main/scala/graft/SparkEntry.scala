@@ -938,6 +938,37 @@ object Queries {
         withinSeconds = Some(24L * 3600))
       .orderBy("step_idx")
 
+  /** Typed JSON props extraction (new in r5): parse the events `props`
+    * column with an explicit declared schema and aggregate the extracted
+    * field per event type — the schema-on-read path the reference's JSON
+    * resource validation implies (main.py parses FHIR JSON pages), typed
+    * end to end.
+    */
+  def ePropsExtract(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.extractProps(
+        spark.read.parquet(s"$dir/events.parquet"), "k BIGINT")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
+  /** Event-type transition matrix (new in r5): successor-type counts via
+    * one lead window per user — the path/Markov view; fully deterministic
+    * ordering (count desc, then types).
+    */
+  def eTransitions(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.transitionCounts(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .orderBy(col("n").desc, col("event_type"), col("next_type"))
+
+  /** Per-type inter-arrival gap stats (new in r5): consecutive same-type
+    * gaps per user in exact integer microseconds, rolled up per type —
+    * cadence/anomaly view, integer-exact oracle replay.
+    */
+  def eInterarrival(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.interArrivalStats(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .orderBy("event_type")
+
   /** Algebraic stats rollup (new in r5): per-source mergeable accumulators
     * rolled up to ONE global row, avg/variance derived from the merged
     * exact integer sums — must equal direct global aggregation (the
@@ -1093,6 +1124,9 @@ object Queries {
     "d_entropy" -> (dEntropy _),
     "d_source_overlap" -> (dSourceOverlap _),
     "e_funnel" -> (eFunnel _),
+    "e_props_extract" -> (ePropsExtract _),
+    "e_transitions" -> (eTransitions _),
+    "e_interarrival" -> (eInterarrival _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -2338,5 +2372,35 @@ object Queries {
         |UNION ALL
         |SELECT 3, 'purchase', count(*) FROM t2
         |ORDER BY step_idx""".stripMargin,
+
+    "e_props_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |         AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, count(*) AS n
+        |FROM s WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type
+        |ORDER BY n DESC, event_type, next_type""".stripMargin,
+
+    "e_interarrival" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id, event_type
+        |           ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+        |       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+        |FROM s WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -56,6 +56,73 @@ object EventOps {
     }
   }
 
+  /** Schema-on-read extraction of the `props` JSON column: parse with an
+    * EXPLICIT DDL schema (declared schema > inference at scale — one
+    * malformed row yields typed nulls, never a corrupted inferred schema)
+    * and surface each field as a typed top-level column beside the event.
+    * `from_json` evaluates once per row; the struct's fields are then free
+    * projections.
+    */
+  def extractProps(events: DataFrame, ddl: String,
+      propsCol: String = "props"): DataFrame = {
+    val parsed = events.withColumn("_p",
+      from_json(col(propsCol), org.apache.spark.sql.types.StructType
+        .fromDDL(ddl)))
+    val fields = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      .fieldNames.toSeq
+    fields.foldLeft(parsed)((df, f) =>
+      df.withColumn(f, col(s"_p.$f"))).drop("_p")
+  }
+
+  /** Event-type transition counts (the Markov/path view: which step
+    * follows which): per key, each event's SUCCESSOR type via one `lead`
+    * window, then a global (type, next_type) count. One shuffle on the
+    * key for the window (running frame — streams, never materializes a
+    * per-key list), one map-side-combined aggregate on the tiny
+    * |types|² result.
+    */
+  def transitionCounts(events: DataFrame,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type",
+      tieBreak: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol).asc, col(tieBreak).asc)
+    events
+      .select(col(keyCol), col(typeCol),
+        lead(col(typeCol), 1).over(w).as("next_type"))
+      .where(col("next_type").isNotNull)
+      .groupBy(col(typeCol), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Inter-arrival statistics per event type: the gap between consecutive
+    * occurrences of the SAME type for the SAME key (lag window), rolled up
+    * to per-type totals in exact integer microseconds — the cadence /
+    * anomaly view (a collapsed max gap flags an outage; a shrunken sum
+    * flags a flood). Same one-shuffle window + tiny aggregate shape as
+    * [[transitionCounts]].
+    */
+  def interArrivalStats(events: DataFrame,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type",
+      tieBreak: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), col(typeCol))
+      .orderBy(col(tsCol).asc, col(tieBreak).asc)
+    // cast covers TIMESTAMP_NTZ event times (unix_micros accepts only
+    // TIMESTAMP; the engine pins spark.sql.session.timeZone=UTC, so the
+    // NTZ→LTZ reinterpretation is deterministic)
+    val micros = unix_micros(col(tsCol).cast("timestamp"))
+    events
+      .select(col(typeCol),
+        (micros - lag(micros, 1).over(w)).as("gap_us"))
+      .where(col("gap_us").isNotNull)
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_us")).as("sum_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+  }
+
   /** Funnel summary: how many keys reached each step (in order). The
     * conversion report built on [[funnelTimes]] — one row per step with
     * the step name, 1-based index, and distinct keys that reached it.

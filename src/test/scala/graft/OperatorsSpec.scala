@@ -603,6 +603,48 @@ class EventOpsSpec extends SparkSpec {
     assert(got === Map(1 -> 4L, 2 -> 2L, 3 -> 1L))
   }
 
+  test("props extraction: declared schema, typed field, malformed -> null") {
+    val d = Seq(
+      (1L, """{"k": 7}"""),
+      (2L, """{"k": "notanint"}"""),
+      (3L, """not json at all""")
+    ).toDF("event_id", "props")
+    val got = graft.operators.EventOps.extractProps(d, "k BIGINT")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("k"))) None else Some(r.getLong(2))))
+      .toMap
+    assert(got(1L) === Some(7L))
+    assert(got(2L) === None)
+    assert(got(3L) === None)
+  }
+
+  test("transition counts follow per-key time order") {
+    val d = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 01:00:00"), "click"),
+      (3L, 1L, ts("2024-01-01 02:00:00"), "view"),
+      (4L, 2L, ts("2024-01-01 00:00:00"), "view"),
+      (5L, 2L, ts("2024-01-01 01:00:00"), "click")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.operators.EventOps.transitionCounts(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("view", "click") -> 2L, ("click", "view") -> 1L))
+  }
+
+  test("inter-arrival gaps are exact microseconds per (key, type)") {
+    val d = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 00:00:01"), "view"),   // 1s gap
+      (3L, 1L, ts("2024-01-01 00:00:04"), "view"),   // 3s gap
+      (4L, 2L, ts("2024-01-01 00:00:00"), "view"),   // other user: no gap yet
+      (5L, 1L, ts("2024-01-01 00:00:10"), "click")   // other type: no gap
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.operators.EventOps.interArrivalStats(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === Map("view" -> ((2L, 4000000L, 3000000L))))
+  }
+
   test("funnel times walk strictly forward per key") {
     val t = graft.operators.EventOps.funnelTimes(
         events, Seq("view", "click", "purchase"),
