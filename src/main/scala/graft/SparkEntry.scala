@@ -577,6 +577,105 @@ object Queries {
       .orderBy("source", "rule_id")
   }
 
+  /** Stateful streaming exact dedup over the documents table as a bounded
+    * multi-file stream: `dropDuplicates` state drops repeat fingerprints
+    * across micro-batches; per-source survivor counts == batch distinct
+    * fingerprint counts independent of file-to-batch assignment.
+    */
+  def sStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.DocSource.materializedDocs(spark, dir)
+    graft.streaming.StreamingDedup.runDedupAvailableNow(spark, path)
+      .orderBy("source")
+  }
+
+  /** Conditional (invariant-style) rules: premise-gated row rules compiled
+    * into the same single-scan codegen pass as unconditional ones.
+    */
+  def vConditional(spark: SparkSession, dir: String): DataFrame = {
+    import graft.rules.{ConditionalRule, RangeRule, TokenBoundsRule}
+    val rules: Seq[graft.rules.Rule] = Seq(
+      ConditionalRule("cond_a_ntok_cap", "source", "A",
+        RangeRule("inner_range", "n_tok", 1, 25)),
+      ConditionalRule("cond_n_token_bounds", "source", "N",
+        TokenBoundsRule("inner_bounds", "tokens", 0, TokenTable.Vocab),
+        severity = "warning"))
+    Validator.rowViolations(tok(spark, dir), rules)
+      .groupBy("rule_id", "severity").agg(count(lit(1)).as("cnt"))
+      .orderBy("rule_id")
+  }
+
+  /** Schema conformance pre-gate: expected-vs-actual column/type issues
+    * (pure metadata — no data scanned; the fail-fast check before a rule
+    * pass is submitted). The spec here deliberately mis-declares `n_chars`,
+    * requires an absent `license`, and omits `lang`.
+    */
+  def vSchemaCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.SchemaCheck.conformance(spark, docs(spark, dir), Seq(
+      "doc_id" -> "bigint", "text" -> "string", "source" -> "string",
+      "n_chars" -> "int", "license" -> "string"))
+      .orderBy("column", "issue")
+
+  /** Snapshot row diff (incremental validation planning): per-(source,
+    * change) added/removed counts between the current table (bogus rows
+    * dropped) and the even-okey baseline snapshot, EXCEPT ALL semantics.
+    */
+  def vSnapshotDataDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cur = tok(spark, dir).where(col("source") =!= "bogus")
+    val prev = TokenTable.tokensBaseline(spark, dir)
+    graft.engine.SnapshotDiff.diffBySource(cur, prev)
+      .orderBy("source", "change")
+  }
+
+  /** Embedding-space drift: cosine between per-label centroids of the two
+    * vec_id-parity cohorts (scalar stats can't see directional shift).
+    */
+  def eCentroidShift(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SimilarityOps.centroidShift(
+        embs(spark, dir), "label", col("vec_id") % 2)
+      .withColumnRenamed("grp", "label")
+      .orderBy("label")
+
+  /** First-3 exemplar violations per rule — deterministic triage view. */
+  def rRuleExamples(spark: SparkSession, dir: String): DataFrame =
+    graft.report.ReportOps.ruleExemplars(
+        Validator.violations(tok(spark, dir), ruleSet, dims(spark)), 3)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("rule_id", "rnk")
+
+  /** Hourly volume anomalies per event type: |z| ≥ 2 buckets vs the
+    * type's own hourly mean/stddev — the rate monitor beside the rules.
+    */
+  def eHourlyAnomalies(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.hourlyAnomalies(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .orderBy("event_type", "hour")
+
+  /** Functional-dependency consistency: duplicate doc_ids must agree on
+    * n_tok — the cross-row fixed-value check (dataset-level).
+    */
+  def vFdCheck(spark: SparkSession, dir: String): DataFrame =
+    Validator.fdViolations(tok(spark, dir), "fd_doc_ntok", "doc_id", "n_tok")
+      .orderBy("doc_id")
+
+  /** Incremental re-validation: diff the new snapshot against the previous
+    * one, validate ONLY the partitions whose content changed (here: source
+    * A gains the odd-okey rows, every other source is byte-identical).
+    * The summary covers exactly the changed slice — the unchanged sources
+    * resume from their manifest entries at 100 TB instead of re-scanning.
+    */
+  def vIncrementalReval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val full = tok(spark, dir)
+    val prev = TokenTable.tokensBaseline(spark, dir)
+    val cur = prev.where(col("source") =!= "A")
+      .unionByName(full.where(col("source") === "A"))
+    val changed = graft.engine.SnapshotDiff.changedSources(cur, prev)
+      .as[String].collect().toSeq.sorted // |sources|-bounded
+    val slice = cur.where(col("source").isin(changed: _*))
+    Validator.summary(slice, Validator.violations(slice, ruleSet, dims(spark)))
+      .orderBy("source")
+  }
+
   // ---- training-data pipeline queries (documents / embeddings) -------------
 
   import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps, VectorIndex}
@@ -1127,6 +1226,15 @@ object Queries {
     "e_props_extract" -> (ePropsExtract _),
     "e_transitions" -> (eTransitions _),
     "e_interarrival" -> (eInterarrival _),
+    "s_stream_dedup" -> (sStreamDedup _),
+    "v_conditional" -> (vConditional _),
+    "v_schema_check" -> (vSchemaCheck _),
+    "v_snapshot_data_diff" -> (vSnapshotDataDiff _),
+    "e_centroid_shift" -> (eCentroidShift _),
+    "r_rule_examples" -> (rRuleExamples _),
+    "v_fd_check" -> (vFdCheck _),
+    "v_incremental_reval" -> (vIncrementalReval _),
+    "e_hourly_anomalies" -> (eHourlyAnomalies _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -1797,6 +1905,153 @@ object Queries {
          |SELECT source, rule_id, count(*) AS cnt FROM v
          |WHERE rule_id <> 'unique_doc_id'
          |GROUP BY source, rule_id ORDER BY source, rule_id""".stripMargin,
+
+    // streaming dropDuplicates survivors per source == batch distinct
+    // fingerprint count per source (the kept SET is deterministic even
+    // though which doc wins per fingerprint is arrival-order-dependent)
+    "s_stream_dedup" ->
+      """WITH fp AS (
+        |  SELECT source,
+        |         md5(array_to_string(list_sort(list_distinct(
+        |           list_filter(string_split(text, ' '), w -> w <> ''))), ' ')) AS fp
+        |  FROM documents)
+        |SELECT source, count(DISTINCT fp) AS n_unique_fps
+        |FROM fp GROUP BY source ORDER BY source""".stripMargin,
+
+    // premise-gated conditional rules: violation iff premise AND inner
+    // violation (WHERE cnt > 0 mirrors Spark's groupBy emitting no row for
+    // an unviolated rule)
+    "v_conditional" ->
+      s"""WITH $cte,
+         |cond AS (
+         |  SELECT 'cond_a_ntok_cap' AS rule_id, 'error' AS severity,
+         |         count(*) AS cnt
+         |  FROM tok
+         |  WHERE source = 'A' AND n_tok IS NOT NULL
+         |    AND (n_tok < 1 OR n_tok >= 25)
+         |  UNION ALL
+         |  SELECT 'cond_n_token_bounds', 'warning', count(*)
+         |  FROM tok WHERE source = 'N' AND NOT tokens_null AND key % 109 = 0)
+         |SELECT rule_id, severity, cnt FROM cond WHERE cnt > 0
+         |ORDER BY rule_id""".stripMargin,
+
+    // schema conformance: both engines derive the ACTUAL schema from the
+    // same parquet footers (DuckDB via DESCRIBE) and compare against the
+    // same deliberately-mismatched expected spec
+    "v_schema_check" ->
+      """WITH actual AS (
+        |  SELECT column_name AS cname,
+        |         CASE column_type
+        |           WHEN 'BIGINT' THEN 'bigint' WHEN 'VARCHAR' THEN 'string'
+        |           WHEN 'INTEGER' THEN 'int' WHEN 'DOUBLE' THEN 'double'
+        |           ELSE lower(column_type) END AS atype
+        |  FROM (DESCRIBE SELECT * FROM documents)),
+        |expected(cname, etype) AS (VALUES
+        |  ('doc_id','bigint'), ('text','string'), ('source','string'),
+        |  ('n_chars','int'), ('license','string')),
+        |j AS (SELECT coalesce(a.cname, e.cname) AS "column", a.atype, e.etype
+        |      FROM actual a FULL OUTER JOIN expected e ON a.cname = e.cname)
+        |SELECT "column",
+        |       CASE WHEN atype IS NULL THEN 'missing'
+        |            WHEN etype IS NULL THEN 'unexpected'
+        |            ELSE 'type_mismatch' END AS issue,
+        |       CASE WHEN atype IS NULL THEN 'expected ' || etype
+        |            WHEN etype IS NULL THEN 'found ' || atype
+        |            ELSE 'expected ' || etype || ' found ' || atype
+        |       END AS detail
+        |FROM j WHERE atype IS NULL OR etype IS NULL OR atype <> etype
+        |ORDER BY "column", issue""".stripMargin,
+
+    // multiset snapshot diff (EXCEPT ALL both directions) aggregated per
+    // (source, change) — the incremental-validation planning view
+    "v_snapshot_data_diff" ->
+      s"""WITH $cte,
+         |cur AS (SELECT doc_id, n_tok, source, okey FROM tok
+         |        WHERE source <> 'bogus'),
+         |prev AS (SELECT doc_id, n_tok, source, okey FROM tok
+         |         WHERE okey % 2 = 0),
+         |d AS (
+         |  SELECT source, 'added' AS change
+         |  FROM (SELECT * FROM cur EXCEPT ALL SELECT * FROM prev)
+         |  UNION ALL
+         |  SELECT source, 'removed'
+         |  FROM (SELECT * FROM prev EXCEPT ALL SELECT * FROM cur))
+         |SELECT source, change, count(*) AS n_rows FROM d
+         |GROUP BY source, change ORDER BY source, change""".stripMargin,
+
+    // cosine between per-label centroids of the two vec_id-parity cohorts
+    "e_centroid_shift" ->
+      """WITH e AS (
+        |  SELECT label, vec_id % 2 AS cohort,
+        |         unnest(list_transform(range(1, len(embedding)+1),
+        |                j -> struct_pack(pos := j,
+        |                       v := CAST(embedding[j] AS DOUBLE)))) AS u
+        |  FROM embeddings),
+        |e2 AS (SELECT label, cohort, u.pos AS pos, u.v AS v FROM e),
+        |cent AS (SELECT label, cohort, pos, avg(v) AS c
+        |         FROM e2 GROUP BY 1, 2, 3),
+        |j AS (SELECT a.label, a.c AS ca, b.c AS cb
+        |      FROM cent a JOIN cent b ON a.label = b.label AND a.pos = b.pos
+        |      WHERE a.cohort = 0 AND b.cohort = 1)
+        |SELECT label,
+        |       round(sum(ca*cb) / (sqrt(sum(ca*ca)) * sqrt(sum(cb*cb))),
+        |             6) AS cos_shift
+        |FROM j GROUP BY label ORDER BY label""".stripMargin,
+
+    // first-3 exemplars per rule by the total order (doc_id, source,
+    // detail); equal tuples make rank assignment among them irrelevant
+    "r_rule_examples" ->
+      s"""WITH $violationsCte,
+         |r AS (SELECT rule_id,
+         |             CAST(row_number() OVER (PARTITION BY rule_id
+         |               ORDER BY doc_id, source, detail) AS INT) AS rnk,
+         |             doc_id, source, detail
+         |      FROM v)
+         |SELECT rule_id, rnk, doc_id, source, detail FROM r WHERE rnk <= 3
+         |ORDER BY rule_id, rnk""".stripMargin,
+
+    // hourly volume z-score anomalies; both engines threshold the ROUNDED
+    // z so stddev-algorithm ulps can't flip membership at the boundary
+    "e_hourly_anomalies" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, avg(cnt) AS mean_cnt,
+        |             stddev_pop(cnt) AS std_cnt
+        |      FROM h GROUP BY 1),
+        |z AS (SELECT h.event_type, h.hour, h.cnt,
+        |             round((h.cnt - m.mean_cnt) / m.std_cnt, 6) AS z,
+        |             m.std_cnt
+        |      FROM h JOIN m USING (event_type))
+        |SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+        |       cnt, z
+        |FROM z WHERE std_cnt > 0 AND abs(z) >= 2.0
+        |ORDER BY event_type, hour""".stripMargin,
+
+    // duplicate doc_ids must carry one n_tok (functional dependency)
+    "v_fd_check" ->
+      s"""WITH $cte,
+         |fd AS (SELECT doc_id, count(DISTINCT n_tok) AS nvals,
+         |              min(source) AS source
+         |       FROM tok GROUP BY doc_id)
+         |SELECT doc_id, 'fd_doc_ntok' AS rule_id,
+         |       'n_tok has ' || nvals ||
+         |         ' distinct values for one doc_id' AS detail,
+         |       'error' AS severity, source
+         |FROM fd WHERE nvals > 1 ORDER BY doc_id""".stripMargin,
+
+    // with only source A changed between the snapshots, the incremental
+    // runner's summary is exactly the full validation of the A slice
+    "v_incremental_reval" ->
+      s"""WITH $cte,
+         |toka AS (SELECT * FROM tok WHERE source = 'A'),
+         |${violationsOver("toka", "va")},
+         |vc AS (SELECT source, count(*) AS nv FROM va GROUP BY source)
+         |SELECT t.source, count(*) AS n_rows,
+         |       coalesce(max(vc.nv), 0) AS n_violations,
+         |       coalesce(max(vc.nv), 0) = 0 AS pass
+         |FROM toka t LEFT JOIN vc ON t.source = vc.source
+         |GROUP BY t.source ORDER BY t.source""".stripMargin,
 
     // final stateful emission per duplicated key == the batch dup row
     "s_stream_unique" ->

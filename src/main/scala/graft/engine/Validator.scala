@@ -546,6 +546,30 @@ object Validator {
       .orderBy(col("cnt").desc, col(keyCol))
       .limit(k)
 
+  /** Functional-dependency consistency (dataset-level): every occurrence of
+    * a key must carry the SAME dependent value — the cross-row
+    * generalization of the row-local fixed-value check (the reference's
+    * per-instance profile validation cannot express this; it falls out of
+    * the engine's aggregate form for free). One violation row per key whose
+    * dependents disagree, with the distinct-value count in the detail.
+    *
+    * Plan: single hash aggregate keyed by `keyCol` (count_distinct partial
+    * map-side like any aggregate) — same one-shuffle shape and skew
+    * characteristics as [[uniqueViolations]], salting applies identically.
+    */
+  def fdViolations(df: DataFrame, ruleId: String,
+      keyCol: String, dependentCol: String,
+      severity: String = "error"): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(countDistinct(col(dependentCol)).as("nvals"),
+        min(col("source")).as("source"))
+      .where(col("nvals") > 1)
+      .select(col(keyCol).cast("string").as("doc_id"),
+        lit(ruleId).as("rule_id"),
+        concat(lit(s"$dependentCol has "), col("nvals").cast("string"),
+          lit(s" distinct values for one $keyCol")).as("detail"),
+        lit(severity).as("severity"), col("source"))
+
   /** Error-contained rule-set pass (SURVEY.md §2 row 40): a rule that fails
     * to compile or resolve (unknown column, missing dimension, bad config)
     * becomes an `engine_error` violation row instead of aborting the run —

@@ -126,6 +126,12 @@ object EventOps {
   /** Funnel summary: how many keys reached each step (in order). The
     * conversion report built on [[funnelTimes]] — one row per step with
     * the step name, 1-based index, and distinct keys that reached it.
+    *
+    * All k step counts come from ONE aggregate over the funnel frame (a
+    * union of per-step aggregates would re-execute the whole
+    * [[funnelTimes]] subtree k times — k× the event scans for a k-row
+    * result); the single count row then explodes into the per-step rows
+    * driver-free.
     */
   def funnelSummary(events: DataFrame, steps: Seq[String],
       keyCol: String = "user_id", tsCol: String = "ts",
@@ -133,11 +139,46 @@ object EventOps {
       withinSeconds: Option[Long] = None): DataFrame = {
     val times = funnelTimes(events, steps, keyCol, tsCol, typeCol,
       withinSeconds)
-    val perStep = steps.zipWithIndex.map { case (step, i) =>
-      times.agg(count(col(s"t$i")).as("n_keys"))
-        .select(lit(i + 1).as("step_idx"), lit(step).as("step"),
-          col("n_keys"))
+    val counts = times.agg(
+      count(col("t0")).as("c0"),
+      steps.indices.drop(1).map(i => count(col(s"t$i")).as(s"c$i")): _*)
+    val rows = steps.zipWithIndex.map { case (step, i) =>
+      struct(lit(i + 1).as("step_idx"), lit(step).as("step"),
+        col(s"c$i").as("n_keys"))
     }
-    perStep.reduce(_.unionByName(_))
+    counts.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Hourly count anomalies per event type: bucket counts, z-score each
+    * bucket against ITS type's hourly mean/stddev, keep |z| ≥ `zThreshold`
+    * — the volume-anomaly monitor a validation pipeline runs beside the
+    * content rules (a source that suddenly doubles its event rate is
+    * suspect before any row rule fires).
+    *
+    * Two aggregates: hourly counts (one shuffle keyed by (type, hour)),
+    * then per-type moments over the COUNT rows — |types|·|hours| rows, so
+    * the second stage is broadcast-sized at any corpus scale. Counts are
+    * integers: the mean is exact in doubles (< 2^53), only the z itself
+    * rounds.
+    */
+  def hourlyAnomalies(events: DataFrame, zThreshold: Double = 2.0,
+      tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
+    val hourly = events
+      .groupBy(col(typeCol),
+        date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val moments = hourly.groupBy(typeCol)
+      .agg(avg(col("cnt")).as("mean_cnt"),
+        stddev_pop(col("cnt")).as("std_cnt"))
+    hourly.join(broadcast(moments), typeCol)
+      .withColumn("z",
+        round((col("cnt") - col("mean_cnt")) / col("std_cnt"), 6))
+      // threshold the ROUNDED z: engines computing stddev by different
+      // algorithms (Welford vs sum-of-squares) disagree at ~1e-12, which
+      // must not flip membership for a bucket sitting on the threshold
+      .where(col("std_cnt") > 0 && abs(col("z")) >= zThreshold)
+      .select(col(typeCol),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("cnt"), col("z"))
   }
 }

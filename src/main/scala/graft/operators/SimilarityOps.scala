@@ -195,4 +195,35 @@ object SimilarityOps {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Embedding-space drift: cosine between the per-group centroids of two
+    * cohorts (`cohortCol` ∈ {0, 1} — e.g. current vs baseline snapshot, or
+    * an A/B split). A cos_shift near 1 means the cohorts occupy the same
+    * region; a drop flags a distribution shift the scalar stats can't see
+    * (same norms, different directions).
+    *
+    * Plan shape at scale: `posexplode` fans each vector into (pos, value)
+    * rows — n·dim rows, but the aggregate is a plain codegen'd hash
+    * aggregate keyed by (group, cohort, pos), partial-aggregated map-side,
+    * so the shuffle carries only |groups|·2·dim rows. The centroid join is
+    * centroid-sized (tiny). No driver-side vector math.
+    */
+  def centroidShift(embeddings: DataFrame, groupCol: String,
+      cohortCol: Column): DataFrame = {
+    val cent = embeddings
+      .select(col(groupCol).as("grp"), cohortCol.cast("int").as("cohort"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy("grp", "cohort", "pos").agg(avg(col("v")).as("c"))
+    val a = cent.where(col("cohort") === 0)
+      .select(col("grp"), col("pos"), col("c").as("ca"))
+    val b = cent.where(col("cohort") === 1)
+      .select(col("grp").as("grp_b"), col("pos").as("pos_b"),
+        col("c").as("cb"))
+    a.join(b, col("grp") === col("grp_b") && col("pos") === col("pos_b"))
+      .groupBy("grp")
+      .agg((sum(col("ca") * col("cb")) /
+        (sqrt(sum(col("ca") * col("ca"))) *
+          sqrt(sum(col("cb") * col("cb"))))).as("cos"))
+      .select(col("grp"), round(col("cos"), 6).as("cos_shift"))
+  }
 }

@@ -207,4 +207,24 @@ object ReportOps {
       coalesce(col(s"$b").cast("string"), lit("--")).as(s"b$b"))
     wide.select(cols: _*)
   }
+
+  /** First `k` exemplar violations per rule — the "show me one" view a
+    * triaging user reads before the counts (the reference prints the raw
+    * per-issue diagnostics list; at scale nobody reads millions of rows, so
+    * the report carries k deterministic examples per rule instead).
+    * Deterministic: ranked by (doc_id, source, detail) — a total order over
+    * violation rows — via one window partitioned by rule_id. The shuffle
+    * carries only violation rows (~2% of input) hashed across |rules|
+    * partitions; for pathological single-rule skew the same two-level
+    * trick as packing applies, but k·|rules| output is tiny by contract.
+    */
+  def ruleExemplars(violations: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("rule_id")
+      .orderBy(col("doc_id"), col("source"), col("detail"))
+    violations
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("rule_id", "rank", "doc_id", "source", "detail")
+  }
 }

@@ -67,6 +67,18 @@ final case class FixedValueRule(
     id: String, column: String, expected: String,
     severity: String = "error", appliesTo: Option[String] = None) extends Rule
 
+/** Conditional (invariant-style) rule — the analogue of FHIR constraint
+  * invariants whose expression guards a requirement with a premise
+  * ("if X then Y"; the reference's profiles carry such constraints inside
+  * StructureDefinition snapshots). When `whenColumn == whenEquals`, the
+  * wrapped row-level rule must hold; other rows are exempt. Compiles to a
+  * single conjunctive predicate — same whole-stage-codegen pass as every
+  * other row rule, no extra scan for the premise.
+  */
+final case class ConditionalRule(
+    id: String, whenColumn: String, whenEquals: String, inner: Rule,
+    severity: String = "error", appliesTo: Option[String] = None) extends Rule
+
 /** Value-set membership (reference "not in the value set",
   * test_profiles.py:183-192): `column` must appear in the dimension named
   * `dimension` (resolved by the engine, broadcast anti-join).
@@ -85,6 +97,9 @@ final case class RuleSet(name: String, rules: Seq[Rule]) {
   def rowRules: Seq[Rule] = rules.filter {
     case _: NotNullRule | _: LengthConsistencyRule | _: TokenBoundsRule |
          _: RangeRule | _: FixedValueRule | _: ColumnBoundsRule => true
+    // a conditional wrapping a non-row rule must FAIL in compileRow, not be
+    // silently dropped here (same policy as the loader's malformed-set check)
+    case _: ConditionalRule => true
     case _ => false
   }
   def referentialRules: Seq[ReferentialRule] =
@@ -159,6 +174,13 @@ object RuleCompiler {
         gate(rule, col(c).isNotNull && col(c) =!= lit(expected)),
         concat(lit("Value is '"), col(c).cast("string"),
           lit(s"' but must be '$expected'")))
+    case ConditionalRule(id, whenCol, whenVal, inner, sev, _) =>
+      // premise ∧ inner-violation in ONE predicate; the conditional's own
+      // id/severity/appliesTo win over the wrapped rule's
+      val compiled = compileRow(inner)
+      CompiledRowRule(id, sev,
+        gate(rule, col(whenCol) === lit(whenVal) && compiled.violated),
+        concat(lit(s"when $whenCol='$whenVal': "), compiled.detail))
     case other =>
       throw new IllegalArgumentException(s"not a row-level rule: $other")
   }
@@ -208,6 +230,9 @@ object RuleSetLoader {
         RangeRule(id, str(v, "column"), long(v, "lo", Long.MinValue),
           long(v, "hi", Long.MaxValue), sev, app)
       case "fixedValue" => FixedValueRule(id, str(v, "column"), str(v, "expected"), sev, app)
+      case "conditional" =>
+        ConditionalRule(id, str(v, "whenColumn"), str(v, "whenEquals"),
+          parseRule(v \ "rule"), sev, app)
       case "referential" => ReferentialRule(id, str(v, "column"), str(v, "dimension"), sev, app)
       case "unique" => UniqueRule(id, str(v, "column"), sev, app)
       case t => throw new IllegalArgumentException(s"unknown rule type: $t")

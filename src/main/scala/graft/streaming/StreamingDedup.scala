@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.operators.TextOps
+
+/** Streaming exact deduplication: the batch fingerprint dedup
+  * ([[graft.operators.DedupOps.exactDuplicates]]) re-expressed as a
+  * continuous INGEST filter — documents arrive in micro-batches and only
+  * the first row carrying each key passes; later arrivals, in the same or
+  * any later micro-batch, are dropped by the state store.
+  *
+  * The reference merges per-page results into one report as pages arrive
+  * (/root/reference/extraction/main.py:249-267, driver-side dicts); here
+  * the cross-page memory is engine state: `dropDuplicates` on a streaming
+  * frame is Spark's stateful dedup operator — one state row per distinct
+  * key, hash-partitioned by key across executors and checkpointed, no
+  * driver memory involved. Without a watermark the state grows with the
+  * distinct-key count BY DEFINITION of exact dedup (an evicted fingerprint
+  * would silently re-admit its duplicates); at corpus scale back it with
+  * the RocksDB state store, or use `dropDuplicatesWithinWatermark` when
+  * ingest-time duplicate windows are bounded.
+  */
+object StreamingDedup {
+
+  /** Input schema of the document stream (driver `documents` table). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Fingerprint-deduped (source, fp) stream: each micro-batch is
+    * fingerprinted statelessly (same canonical md5-over-sorted-word-set as
+    * the batch dedup), then `dropDuplicates(fp, source)` keeps exactly one
+    * row per distinct (fingerprint, source) across ALL micro-batches.
+    * WHICH document wins is arrival-order-dependent; the projected columns
+    * are the key itself, so the emitted SET is deterministic — the same
+    * determinism discipline as the stateful-uniqueness final emissions.
+    */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), TextOps.fingerprint(col("text")).as("fp"))
+      .dropDuplicates("fp", "source")
+
+  /** One-shot stateful streaming dedup over a multi-file parquet documents
+    * directory (`Trigger.AvailableNow`, `maxFilesPerTrigger` files per
+    * micro-batch — small so duplicate groups SPAN batches and the
+    * cross-batch state actually gates). Returns the per-source count of
+    * surviving documents, which must equal the batch per-source distinct
+    * fingerprint count independent of file-to-batch assignment.
+    */
+  def runDedupAvailableNow(
+      spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+    val name = s"graft_stream_dedup_${System.nanoTime()}"
+    val q = dedupStream(stream).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("source").agg(count(lit(1)).as("n_unique_fps"))
+  }
+}

@@ -231,6 +231,19 @@ object Explain {
       timed("pack_bucketed_mono")(bucketed())
       timed("pack_bucketed_mono2")(bucketed())
     }
+    if (args.contains("--diff")) {
+      // 2c→8c profile of the snapshot diff (incremental-validation
+      // planning): EXCEPT ALL = one hash aggregate per side keyed by the
+      // full row — must scale like the rule pass, no flat component
+      val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "16").toInt
+      val stok = TokenTable.tokensScaled(spark, sfDir, scale)
+      val prev = stok.where(col("okey") % 2 === 0)
+      import graft.engine.SnapshotDiff
+      SnapshotDiff.diffBySource(stok, prev).count() // warm
+      timed("diff_by_source")(SnapshotDiff.diffBySource(stok, prev).count())
+      timed("diff_by_source2")(SnapshotDiff.diffBySource(stok, prev).count())
+      timed("diff_changed")(SnapshotDiff.changedSources(stok, prev).count())
+    }
     if (args.contains("--registry")) {
       // interleaved same-JVM A/B of the registry queries the r4 bench
       // artifact flagged (r_report_* 4-20× slower) against stable v_*

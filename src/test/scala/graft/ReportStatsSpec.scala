@@ -88,4 +88,41 @@ class ReportStatsSpec extends SparkSpec {
       .as[(String, String)].collect().toSet
     assert(re === expect)
   }
+
+  test("ruleExemplars keeps the first k per rule by the total order") {
+    val vs = Seq(
+      v("d3", "r1", "A"), v("d1", "r1", "A"), v("d2", "r1", "B"),
+      v("d4", "r1", "A"), v("d9", "r2", "N")).toDF()
+    val got = ReportOps.ruleExemplars(vs, 2)
+      .select("rule_id", "rank", "doc_id")
+      .as[(String, Int, String)].collect().toSet
+    assert(got === Set(
+      ("r1", 1, "d1"), ("r1", 2, "d2"), ("r2", 1, "d9")))
+    // layout-invariant: same exemplars under any partitioning
+    val re = ReportOps.ruleExemplars(vs.repartition(7), 2)
+      .select("rule_id", "rank", "doc_id")
+      .as[(String, Int, String)].collect().toSet
+    assert(re === got)
+  }
+
+  test("centroidShift is 1.0 for identical cohorts, lower for shifted") {
+    import graft.operators.SimilarityOps
+    val base = Seq(
+      (0L, Seq(1.0f, 0.0f, 2.0f), 7),
+      (2L, Seq(0.0f, 1.0f, 1.0f), 7))
+    // cohort 1 = exact copies (odd vec_ids) → centroids identical
+    val same = (base ++ base.map { case (id, e, l) => (id + 1, e, l) })
+      .toDF("vec_id", "embedding", "label")
+    val gotSame = SimilarityOps.centroidShift(same, "label",
+        col("vec_id") % 2)
+      .as[(Int, Double)].collect().toMap
+    assert(gotSame(7) === 1.0)
+    // cohort 1 orthogonal to cohort 0 → shift 0
+    val shifted = (Seq((0L, Seq(1.0f, 0.0f), 5)) ++
+      Seq((1L, Seq(0.0f, 1.0f), 5))).toDF("vec_id", "embedding", "label")
+    val gotShift = SimilarityOps.centroidShift(shifted, "label",
+        col("vec_id") % 2)
+      .as[(Int, Double)].collect().toMap
+    assert(gotShift(5) === 0.0)
+  }
 }

@@ -214,4 +214,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("stateful streaming dedup drops repeat fingerprints across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocIn]
+    val out = graft.streaming.StreamingDedup.dedupStream(mem.toDF())
+    val q = out.writeStream.format("memory").queryName("sdd_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: b is a's word-set permutation -> same fingerprint, dropped
+      mem.addData(
+        DocIn(1L, "alpha beta gamma", "S1"),
+        DocIn(2L, "gamma  beta alpha", "S1"),
+        DocIn(3L, "delta epsilon", "S1"))
+      q.processAllAvailable()
+      assert(spark.table("sdd_test").count() === 2)
+      // batch 2: same fingerprint again in S1 (dropped by CROSS-batch
+      // state), same fingerprint in S2 (new key, kept)
+      mem.addData(
+        DocIn(4L, "beta gamma alpha", "S1"),
+        DocIn(5L, "alpha beta gamma", "S2"))
+      q.processAllAvailable()
+      val got = spark.table("sdd_test")
+        .select("source").as[String].collect().toSeq
+      assert(got.count(_ == "S1") === 2)
+      assert(got.count(_ == "S2") === 1)
+    } finally q.stop()
+  }
+
+  test("AvailableNow streaming dedup equals batch distinct fingerprints") {
+    val path = graft.sources.DocSource.materializedDocs(spark, sf0001)
+    val streamed = graft.streaming.StreamingDedup
+      .runDedupAvailableNow(spark, path, maxFilesPerTrigger = 2)
+      .orderBy("source").collect().toSeq
+    val batch = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("source"),
+        graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+      .groupBy("source")
+      .agg(countDistinct(col("fp")).as("n_unique_fps"))
+      .orderBy("source").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
+
+case class DocIn(doc_id: Long, text: String, source: String)

@@ -220,4 +220,91 @@ class ValidatorSpec extends SparkSpec {
       ("n-null", "not_null_tokens",
         "tokens is null: minimum required = 1, but only found 0")))
   }
+
+  test("conditional rule fires only when the premise holds") {
+    val rules: Seq[Rule] = Seq(
+      ConditionalRule("cond_a_cap", "source", "A",
+        RangeRule("inner", "n_tok", 1, 3)))
+    val df = Seq(
+      TokenRow("a-hit", Array(1, 2, 3), 3, "A"),   // premise + violation
+      TokenRow("a-ok", Array(1), 1, "A"),          // premise, no violation
+      TokenRow("n-exempt", Array(1, 2, 3), 3, "N") // violation, no premise
+    ).toDF
+    val got = Validator.rowViolations(df, rules)
+      .select("doc_id", "rule_id", "detail")
+      .as[(String, String, String)].collect().toSet
+    assert(got === Set(
+      ("a-hit", "cond_a_cap", "when source='A': n_tok=3 out of [1,3)")))
+  }
+
+  test("conditional rule parses from JSON and rejects non-row inner rules") {
+    val routing = RuleSetLoader.parse(
+      """{ "ruleSets": { "default": [
+        |    {"type":"conditional","id":"c1","whenColumn":"source",
+        |     "whenEquals":"A","severity":"warning",
+        |     "rule":{"type":"range","id":"i1","column":"n_tok","lo":1,"hi":5}}
+        |  ]},
+        |  "defaultRuleSet": "default" }""".stripMargin)
+    val parsed = routing.ruleSets("default").rules.head
+    assert(parsed === ConditionalRule("c1", "source", "A",
+      RangeRule("i1", "n_tok", 1, 5), "warning", None))
+    // a conditional wrapping a dataset-level rule must fail loudly at
+    // compile, not be silently skipped
+    val bad = ConditionalRule("c2", "source", "A",
+      UniqueRule("u", "doc_id"))
+    assertThrows[IllegalArgumentException] {
+      RuleCompiler.compileRow(bad)
+    }
+    assert(RuleSet("s", Seq(bad)).rowRules == Seq(bad))
+  }
+
+  test("schema conformance reports missing/unexpected/mismatch, else empty") {
+    import graft.engine.SchemaCheck
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    assert(SchemaCheck.issues(df.schema,
+      Seq("doc_id" -> "bigint", "text" -> "string")) === Nil)
+    val got = SchemaCheck.issues(df.schema,
+      Seq("doc_id" -> "int", "license" -> "string"))
+    assert(got === Seq(
+      SchemaCheck.SchemaIssue("doc_id", "type_mismatch",
+        "expected int found bigint"),
+      SchemaCheck.SchemaIssue("license", "missing", "expected string"),
+      SchemaCheck.SchemaIssue("text", "unexpected", "found string")))
+    assertThrows[IllegalArgumentException] {
+      SchemaCheck.require(df, Seq("license" -> "string"))
+    }
+    SchemaCheck.require(df, Seq("doc_id" -> "bigint", "text" -> "string"))
+  }
+
+  test("fdViolations flags keys whose dependent values disagree") {
+    val df = Seq(
+      TokenRow("d1", Array(1), 3, "A"), TokenRow("d1", Array(1), 3, "N"),
+      TokenRow("d2", Array(1), 2, "A"), TokenRow("d2", Array(1), 5, "A"),
+      TokenRow("d3", Array(1), 1, "R")).toDF
+    val got = Validator.fdViolations(df, "fd", "doc_id", "n_tok")
+      .select("doc_id", "detail", "source")
+      .as[(String, String, String)].collect().toSet
+    // d1 agrees (3,3) — consistent duplicates pass; d3 is a singleton
+    assert(got === Set(
+      ("d2", "n_tok has 2 distinct values for one doc_id", "A")))
+  }
+
+  test("snapshot diff uses multiset semantics over duplicate rows") {
+    import graft.engine.SnapshotDiff
+    val cols = Seq("doc_id", "n_tok", "source")
+    val cur = Seq(
+      ("d1", 1, "A"), ("d1", 1, "A"),  // two copies now
+      ("d2", 2, "A")).toDF(cols: _*)
+    val prev = Seq(
+      ("d1", 1, "A"),                  // one copy before
+      ("d3", 3, "N")).toDF(cols: _*)
+    val got = SnapshotDiff.rowDiff(cur, prev, cols)
+      .select("doc_id", "change").as[(String, String)].collect().toSeq
+      .sorted
+    // the SECOND d1 copy is added (multiset), d2 added, d3 removed
+    assert(got === Seq(("d1", "added"), ("d2", "added"), ("d3", "removed")))
+    val changed = SnapshotDiff.changedSources(cur, prev, cols)
+      .as[String].collect().toSet
+    assert(changed === Set("A", "N"))
+  }
 }
