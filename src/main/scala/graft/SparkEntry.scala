@@ -676,6 +676,18 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Constraint suggestion (new in r5): profile the token table and emit
+    * candidate rules — observed numeric ranges, null-freedom, and the
+    * source dictionary — the Deequ-style bootstrap for onboarding a source
+    * without a hand-written rule set ([[graft.engine.Profiler]]; the
+    * closure property — zero violations when the suggestions are compiled
+    * and re-run on the profiled table — is pinned by ProfilerSpec).
+    */
+  def vProfileSuggest(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.Profiler.suggest(tok(spark, dir),
+      numericCols = Seq("n_tok", "okey"), categoricalCols = Seq("source"))
+      .orderBy("rule_id")
+
   // ---- training-data pipeline queries (documents / embeddings) -------------
 
   import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps, VectorIndex}
@@ -1020,6 +1032,29 @@ object Queries {
     * fingerprints shared per source pair — the domain-contamination view
     * a mixing strategy reads before weighting sources.
     */
+  /** Corpus-trained unigram LM scoring (new in r5): per-document mean word
+    * log-probability under the corpus's own unigram distribution — the
+    * perplexity-proxy quality gate, model trained by the engine in the
+    * same job ([[TextOps.unigramLogProb]]).
+    */
+  def dLmScore(spark: SparkSession, dir: String): DataFrame =
+    TextOps.unigramLogProb(docs(spark, dir)).orderBy("doc_id")
+
+  /** Per-source Zipf slope (new in r5): log-freq vs log-rank least-squares
+    * slope over each source's word-frequency table — the naturalness
+    * monitor (template/spam sources drift off the Zipfian −1).
+    */
+  def dZipfSlope(spark: SparkSession, dir: String): DataFrame =
+    TextOps.zipfSlope(docs(spark, dir)).orderBy("source")
+
+  /** Int8 quantization error report (new in r5): per-label mean/max
+    * reconstruction MSE of per-dimension affine int8 quantization — the
+    * go/no-go gate before compressing a vector index's payload 4×
+    * ([[SimilarityOps.quantizeInt8]]).
+    */
+  def eQuantizeError(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.quantizeError(embs(spark, dir)).orderBy("label")
+
   def dSourceOverlap(spark: SparkSession, dir: String): DataFrame =
     DedupOps.sourceOverlapMatrix(docs(spark, dir))
       .orderBy("source_a", "source_b")
@@ -1235,6 +1270,10 @@ object Queries {
     "v_fd_check" -> (vFdCheck _),
     "v_incremental_reval" -> (vIncrementalReval _),
     "e_hourly_anomalies" -> (eHourlyAnomalies _),
+    "v_profile_suggest" -> (vProfileSuggest _),
+    "d_lm_score" -> (dLmScore _),
+    "d_zipf_slope" -> (dZipfSlope _),
+    "e_quantize_error" -> (eQuantizeError _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -1997,6 +2036,105 @@ object Queries {
         |       round(sum(ca*cb) / (sqrt(sum(ca*ca)) * sqrt(sum(cb*cb))),
         |             6) AS cos_shift
         |FROM j GROUP BY label ORDER BY label""".stripMargin,
+
+    // profile-derived suggestions: same observed min/max/null-freedom and
+    // sorted source dictionary; not_null rows emit iff zero nulls observed
+    "v_profile_suggest" ->
+      s"""WITH $cte,
+         |p AS (SELECT CAST(min(n_tok) AS BIGINT) AS mn_t,
+         |             CAST(max(n_tok) AS BIGINT) AS mx_t,
+         |             CAST(min(okey) AS BIGINT) AS mn_o,
+         |             CAST(max(okey) AS BIGINT) AS mx_o,
+         |             sum(CASE WHEN n_tok IS NULL THEN 1 ELSE 0 END) AS nu_t,
+         |             sum(CASE WHEN okey IS NULL THEN 1 ELSE 0 END) AS nu_o,
+         |             sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS nu_s
+         |      FROM tok),
+         |sv AS (SELECT string_agg(v, ',' ORDER BY v) AS vals
+         |       FROM (SELECT DISTINCT source AS v FROM tok
+         |             WHERE source IS NOT NULL)),
+         |rows AS (
+         |  SELECT 'range_n_tok' AS rule_id, 'range' AS rule_type,
+         |         'n_tok' AS "column", mn_t AS lo, mx_t AS hi,
+         |         CAST(NULL AS VARCHAR) AS "values" FROM p
+         |  UNION ALL
+         |  SELECT 'range_okey', 'range', 'okey', mn_o, mx_o, NULL FROM p
+         |  UNION ALL
+         |  SELECT 'not_null_n_tok', 'not_null', 'n_tok', NULL, NULL, NULL
+         |  FROM p WHERE nu_t = 0
+         |  UNION ALL
+         |  SELECT 'not_null_okey', 'not_null', 'okey', NULL, NULL, NULL
+         |  FROM p WHERE nu_o = 0
+         |  UNION ALL
+         |  SELECT 'not_null_source', 'not_null', 'source', NULL, NULL, NULL
+         |  FROM p WHERE nu_s = 0
+         |  UNION ALL
+         |  SELECT 'value_set_source', 'value_set', 'source', NULL, NULL,
+         |         vals FROM sv)
+         |SELECT rule_id, rule_type, "column", lo, hi, "values"
+         |FROM rows ORDER BY rule_id""".stripMargin,
+
+    // corpus unigram MLE log-probs, per-doc mean (round 6 masks
+    // summation-order ulps; probabilities from exact integer counts)
+    "d_lm_score" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split(text, ' '),
+        |           x -> x <> '')) AS w
+        |  FROM documents),
+        |f AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+        |t AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM f),
+        |s AS (SELECT doc_id, ln(CAST(c AS DOUBLE) / tot) AS lp
+        |      FROM w JOIN f USING (w) CROSS JOIN t)
+        |SELECT doc_id, count(*) AS n_words,
+        |       round(avg(lp), 6) AS avg_logprob
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // per-source Zipf slope: regr_slope(ln c, ln r) ==
+    // covar_pop(ln r, ln c)/var_pop(ln r); identical rank tie-break
+    "d_zipf_slope" ->
+      """WITH w AS (
+        |  SELECT source,
+        |         unnest(list_filter(string_split(text, ' '),
+        |           x -> x <> '')) AS w
+        |  FROM documents),
+        |f AS (SELECT source, w, count(*) AS c FROM w GROUP BY 1, 2),
+        |r AS (SELECT source, c,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY c DESC, w ASC) AS r
+        |      FROM f)
+        |SELECT source, count(*) AS n_types,
+        |       round(regr_slope(ln(CAST(c AS DOUBLE)),
+        |                        ln(CAST(r AS DOUBLE))), 6) AS zipf_slope
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // int8 quantization replay: same per-dim global codebook, same
+    // floor(+0.5) rounding (round() half-rule differs between engines),
+    // same dequant arithmetic order
+    "e_quantize_error" ->
+      """WITH comp AS (
+        |  SELECT vec_id, u.pos AS pos, u.v AS v FROM (
+        |    SELECT vec_id,
+        |           unnest(list_transform(range(1, len(embedding)+1),
+        |             j -> struct_pack(pos := j-1,
+        |                    v := CAST(embedding[j] AS DOUBLE)))) AS u
+        |    FROM embeddings)),
+        |cb AS (SELECT pos, min(v) AS lo, max(v) AS hi FROM comp
+        |       GROUP BY pos),
+        |q AS (SELECT vec_id, v, lo, hi,
+        |             CASE WHEN hi = lo THEN 0
+        |                  ELSE floor(255.0*(v-lo)/(hi-lo) + 0.5) - 128
+        |             END AS q
+        |      FROM comp JOIN cb USING (pos)),
+        |d AS (SELECT vec_id, v,
+        |             (q + 128) / 255.0 * (hi - lo) + lo AS deq FROM q),
+        |m AS (SELECT vec_id,
+        |             round(avg((v-deq)*(v-deq)) * 1e6, 6) AS mse
+        |      FROM d GROUP BY vec_id)
+        |SELECT label, count(*) AS n_vecs,
+        |       round(avg(mse), 3) AS mean_mse_x1e6,
+        |       round(max(mse), 3) AS max_mse_x1e6
+        |FROM m JOIN embeddings USING (vec_id)
+        |GROUP BY label ORDER BY label""".stripMargin,
 
     // first-3 exemplars per rule by the total order (doc_id, source,
     // detail); equal tuples make rank assignment among them irrelevant

@@ -226,4 +226,57 @@ object SimilarityOps {
           sqrt(sum(col("cb") * col("cb"))))).as("cos"))
       .select(col("grp"), round(col("cos"), 6).as("cos_shift"))
   }
+
+  /** Per-dimension affine int8 quantization of the embedding column — the
+    * 4× index-compression step a materialized ANN index applies before
+    * write-out (float32 → int8 with a per-dimension (min, max) codebook).
+    * Returns each vector's quantized array plus its reconstruction MSE, so
+    * the caller can threshold acceptable quantization error per row.
+    *
+    * Codebook: per-dimension GLOBAL min/max — a (pos → lo, hi) table of
+    * `dim` rows computed by one posexplode hash aggregate (shuffle carries
+    * `dim` rows after map-side combine) and joined back as a broadcast.
+    * Quantize: `floor(255·(v−lo)/(hi−lo) + 0.5) − 128` — floor(+0.5)
+    * instead of round() because engines disagree on round-half semantics;
+    * floor is exact everywhere. A constant dimension (hi = lo) quantizes
+    * to 0. Dequantized MSE uses the same exact arithmetic in both engines
+    * (round 6 masks summation-order ulps).
+    */
+  def quantizeInt8(embeddings: DataFrame,
+      idCol: String = "vec_id"): DataFrame = {
+    val comp = embeddings.select(col(idCol),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+    val codebook = comp.groupBy("pos")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val scaled = comp.join(broadcast(codebook), Seq("pos"))
+      .withColumn("q",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          floor(lit(255.0) * (col("v") - col("lo")) /
+            (col("hi") - col("lo")) + lit(0.5)) - 128L))
+      .withColumn("deq",
+        (col("q") + 128L).cast("double") / 255.0 *
+          (col("hi") - col("lo")) + col("lo"))
+    scaled.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("q"))))
+          .as("_pq"),
+        round(avg((col("v") - col("deq")) * (col("v") - col("deq"))) *
+          lit(1e6), 6).as("mse_x1e6"))
+      .select(col(idCol),
+        transform(col("_pq"), e => e.getField("q").cast("int"))
+          .as("q_embedding"),
+        col("mse_x1e6"))
+  }
+
+  /** Corpus-level quantization-error report built on [[quantizeInt8]]:
+    * per label, the mean and max reconstruction MSE — the go/no-go gate
+    * before swapping an index's payload to int8.
+    */
+  def quantizeError(embeddings: DataFrame,
+      labelCol: String = "label"): DataFrame =
+    quantizeInt8(embeddings)
+      .join(embeddings.select(col("vec_id"), col(labelCol)), Seq("vec_id"))
+      .groupBy(labelCol)
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("mse_x1e6")), 3).as("mean_mse_x1e6"),
+        round(max(col("mse_x1e6")), 3).as("max_mse_x1e6"))
 }

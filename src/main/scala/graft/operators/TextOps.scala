@@ -329,6 +329,63 @@ object TextOps {
         col("word_entropy"))
   }
 
+  /** Corpus-trained unigram language-model scoring: train word
+    * log-probabilities over the whole corpus (add-nothing MLE — every
+    * scored word was seen in training by construction), then score each
+    * document by its mean word log-probability. The perplexity-proxy
+    * quality signal real pipelines threshold on (a doc of globally-rare
+    * words scores low; boilerplate of corpus-dominant words scores high),
+    * with the model TRAINED BY THE ENGINE — no external LM.
+    *
+    * Shape: two passes over the corpus by nature (train, then score —
+    * exactly an LM pipeline's epochs). The frequency table is
+    * vocabulary-bounded, so the per-word log-prob join broadcasts at any
+    * corpus size, and the corpus-total join is a broadcast scalar; the
+    * only corpus-keyed shuffle is the per-document aggregate. Probabilities
+    * come from exact integer counts, one division + log per word — the
+    * oracle replays them bit-for-bit up to summation order (round 6).
+    */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val freq = w.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum("c").as("tot"))
+    val probs = freq.crossJoin(broadcast(tot))
+      .select(col("w"),
+        log(col("c").cast("double") / col("tot").cast("double")).as("lp"))
+    w.join(broadcast(probs), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        round(avg(col("lp")), 6).as("avg_logprob"))
+  }
+
+  /** Per-source Zipf slope: the least-squares slope of log(frequency) vs
+    * log(rank) over the source's word-frequency table — natural text sits
+    * near −1; machine-generated or templated sources drift toward 0 (flat)
+    * or below −2 (degenerate). The corpus-naturalness monitor beside the
+    * rate and drift checks. `n_types` (distinct words) rides along.
+    *
+    * Shape: one explode + one (source, word) hash aggregate over the
+    * corpus; ranking then windows over per-source VOCABULARY frames (the
+    * frequency table, not the corpus — bounded per source), and the slope
+    * is covar_pop/var_pop in one final tiny aggregate. Deterministic
+    * ranking tie-break (count desc, word asc) keeps both engines on the
+    * same rank assignment, which the slope depends on.
+    */
+  def zipfSlope(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val r = row_number().over(
+      Window.partitionBy("source").orderBy(col("c").desc, col("w").asc))
+    freq.withColumn("r", r)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        round(covar_pop(log(col("r").cast("double")),
+            log(col("c").cast("double"))) /
+          var_pop(log(col("r").cast("double"))), 6).as("zipf_slope"))
+  }
+
   /** Document fingerprint: md5 of the sorted distinct word set — the
     * canonical-form fingerprint used for exact near-order-insensitive dedup.
     */
