@@ -1032,6 +1032,30 @@ object Queries {
     * fingerprints shared per source pair — the domain-contamination view
     * a mixing strategy reads before weighting sources.
     */
+  /** Quarantine split sink (new in r5): one rule pass + ONE corpus
+    * write routing every row of an error-violating doc_id to
+    * `bucket=quarantine` and the rest to `bucket=clean`
+    * ([[graft.engine.Quarantine]]); counts read back from the written
+    * layout, so they assert what a downstream consumer actually sees.
+    */
+  def vQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val out = sys.env.getOrElse("GRAFT_TOK_CACHE", "/tmp/graft_tok_cache") +
+      s"/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_quarantine"
+    graft.engine.Quarantine
+      .splitWrite(spark, tok(spark, dir), ruleSet, dims(spark), out)
+      .groupBy("bucket", "source").agg(count(lit(1)).as("n_rows"))
+      .orderBy("bucket", "source")
+  }
+
+  /** Weekly retention cohorts over the events table (new in r5):
+    * first-active-week cohort × week offset → distinct active users
+    * ([[graft.operators.EventOps.retentionCohorts]]).
+    */
+  def eRetention(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.retentionCohorts(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .orderBy("cohort_week", "week_offset")
+
   /** Corpus-trained unigram LM scoring (new in r5): per-document mean word
     * log-probability under the corpus's own unigram distribution — the
     * perplexity-proxy quality gate, model trained by the engine in the
@@ -1274,6 +1298,8 @@ object Queries {
     "d_lm_score" -> (dLmScore _),
     "d_zipf_slope" -> (dZipfSlope _),
     "e_quantize_error" -> (eQuantizeError _),
+    "v_quarantine" -> (vQuarantine _),
+    "e_retention" -> (eRetention _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -2072,6 +2098,32 @@ object Queries {
          |         vals FROM sv)
          |SELECT rule_id, rule_type, "column", lo, hi, "values"
          |FROM rows ORDER BY rule_id""".stripMargin,
+
+    // quarantine routing: every copy of an error-violating doc_id lands in
+    // the quarantine bucket, everything else in clean
+    "v_quarantine" ->
+      s"""WITH $violationsCte,
+         |bad AS (SELECT DISTINCT doc_id FROM v WHERE severity = 'error'),
+         |f AS (SELECT t.source,
+         |             CASE WHEN b.doc_id IS NULL THEN 'clean'
+         |                  ELSE 'quarantine' END AS bucket
+         |      FROM tok t LEFT JOIN bad b USING (doc_id))
+         |SELECT bucket, source, count(*) AS n_rows FROM f
+         |GROUP BY bucket, source ORDER BY bucket, source""".stripMargin,
+
+    // retention triangle: distinct (user, week) pairs, cohort = min week,
+    // integer week offsets (week-aligned day diffs are multiples of 7)
+    "e_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id AS k, date_trunc('week', ts) AS wk
+        |  FROM events),
+        |c AS (SELECT k, min(wk) AS cwk FROM uw GROUP BY k)
+        |SELECT strftime(cwk, '%Y-%m-%d') AS cohort_week,
+        |       CAST(datediff('day', cwk, wk) // 7 AS INT) AS week_offset,
+        |       count(*) AS n_users
+        |FROM uw JOIN c USING (k)
+        |GROUP BY cwk, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     // corpus unigram MLE log-probs, per-doc mean (round 6 masks
     // summation-order ulps; probabilities from exact integer counts)

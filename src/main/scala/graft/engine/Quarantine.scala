@@ -1,0 +1,51 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.rules.RuleSet
+
+/** Quarantine sink: split a table into `clean` and `quarantine` outputs in
+  * ONE corpus pass — every row whose `doc_id` carries at least one
+  * error-severity violation goes to quarantine (ALL copies of a violating
+  * id: a uniqueness or consistency violation implicates every occurrence),
+  * the rest to clean. The downstream-consumer contract the reference's
+  * pass/fail verdicts imply (failed pages are excluded from delivery;
+  * /root/reference/extraction/main.py:225-263 routes failures out of the
+  * result merge) — here as a physical table split a training pipeline can
+  * read clean data straight out of.
+  *
+  * Plan shape: one rule pass builds the distinct bad-id set (violations
+  * are sparse — AQE broadcasts the set when small, falls back to a
+  * shuffle-hash semi-style left join on `doc_id` otherwise), then ONE scan
+  * of the corpus flags rows and writes both outputs via
+  * `partitionBy(bucket)` — a two-directory layout from a single write job,
+  * no second pass per output. Readers prune to `bucket=clean` at the
+  * directory level.
+  */
+object Quarantine {
+
+  /** Flag rows (adds `bucket` ∈ {clean, quarantine}) without writing. */
+  def flag(df: DataFrame, ruleSet: RuleSet,
+      dims: Map[String, DataFrame], keyCol: String = "doc_id"): DataFrame = {
+    val bad = Validator.violations(df, ruleSet, dims)
+      .where(col("severity") === "error")
+      .select(col("doc_id").as(keyCol)).distinct()
+      .withColumn("_q", lit(true))
+    df.join(bad, Seq(keyCol), "left")
+      .withColumn("bucket",
+        when(col("_q").isNotNull, "quarantine").otherwise("clean"))
+      .drop("_q")
+  }
+
+  /** Split-write to `outDir/bucket={clean,quarantine}` and return the
+    * written table (re-read from disk, so counts reflect what a consumer
+    * sees).
+    */
+  def splitWrite(spark: SparkSession, df: DataFrame, ruleSet: RuleSet,
+      dims: Map[String, DataFrame], outDir: String,
+      keyCol: String = "doc_id"): DataFrame = {
+    flag(df, ruleSet, dims, keyCol)
+      .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+}

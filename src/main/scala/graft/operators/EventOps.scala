@@ -181,4 +181,35 @@ object EventOps {
         date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("cnt"), col("z"))
   }
+
+  /** Retention cohorts: users grouped by their FIRST active week (the
+    * cohort), counted at each later week they were active — the classic
+    * triangle a product-analytics engine emits, and the user-level
+    * "does the population persist" monitor beside the per-type volume
+    * anomalies.
+    *
+    * Shape: one distinct over (user, week) — the only corpus-keyed
+    * shuffle; the cohort (min week per user) aggregate and the join back
+    * both key on the SAME user column, so exchange reuse co-partitions
+    * them; the final aggregate is |cohorts|·|weeks| rows. `count(*)` is
+    * a distinct-user count by construction (each (user, week) pair occurs
+    * once after the distinct, and a user's week maps to exactly one
+    * offset). Week arithmetic is exact: date_trunc week-aligns both ends,
+    * so the day difference is a multiple of 7.
+    */
+  def retentionCohorts(events: DataFrame,
+      keyCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val userWeek = events
+      .select(col(keyCol).as("k"),
+        date_trunc("week", col(tsCol)).as("wk"))
+      .distinct()
+    val cohort = userWeek.groupBy("k").agg(min(col("wk")).as("cwk"))
+    userWeek.join(cohort, Seq("k"))
+      .groupBy(col("cwk"),
+        (datediff(col("wk"), col("cwk")) / 7).cast("int")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("cwk"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+  }
 }

@@ -55,7 +55,7 @@ object StreamingDedup {
     */
   def runDedupAvailableNow(
       spark: SparkSession, path: String,
-      maxFilesPerTrigger: Int = 2): DataFrame = {
+      maxFilesPerTrigger: Int = 4): DataFrame = {
     val stream = spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
