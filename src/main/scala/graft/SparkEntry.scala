@@ -1032,6 +1032,19 @@ object Queries {
     * fingerprints shared per source pair — the domain-contamination view
     * a mixing strategy reads before weighting sources.
     */
+  /** Watermark-bounded streaming dedup (new in r5): the bounded-state
+    * ingest-dedup shape — `dropDuplicatesWithinWatermark` over the events
+    * stream on (user_id, event_type). The registry anchor uses a delay
+    * longer than the table's span (nothing evicted ⇒ survivors == batch
+    * distinct pairs, independent of file-to-batch assignment); the
+    * eviction/re-admission semantics are pinned by StreamingSpec.
+    */
+  def sEventDedupWm(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.DocSource.materializedEvents(spark, dir)
+    graft.streaming.StreamingDedup.runEventDedupAvailableNow(spark, path)
+      .orderBy("event_type")
+  }
+
   /** Quarantine split sink (new in r5): one rule pass + ONE corpus
     * write routing every row of an error-violating doc_id to
     * `bucket=quarantine` and the rest to `bucket=clean`
@@ -1300,6 +1313,7 @@ object Queries {
     "e_quantize_error" -> (eQuantizeError _),
     "v_quarantine" -> (vQuarantine _),
     "e_retention" -> (eRetention _),
+    "s_event_dedup_wm" -> (sEventDedupWm _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -2110,6 +2124,12 @@ object Queries {
          |      FROM tok t LEFT JOIN bad b USING (doc_id))
          |SELECT bucket, source, count(*) AS n_rows FROM f
          |GROUP BY bucket, source ORDER BY bucket, source""".stripMargin,
+
+    // watermark-delay exceeds the table's span => no eviction => survivors
+    // equal batch distinct (user, type) pairs per type
+    "s_event_dedup_wm" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // retention triangle: distinct (user, week) pairs, cohort = min week,
     // integer week offsets (week-aligned day diffs are multiples of 7)

@@ -70,4 +70,55 @@ object StreamingDedup {
     spark.table(name)
       .groupBy("source").agg(count(lit(1)).as("n_unique_fps"))
   }
+
+  /** BOUNDED-STATE streaming dedup: `dropDuplicatesWithinWatermark` keeps
+    * a key's state only until the watermark passes its event time + delay,
+    * then EVICTS it — the 100 TB ingest shape (unbounded exact-dedup state
+    * grows with distinct keys forever; a bounded duplicate-arrival window
+    * caps it at the keys seen within the delay). The contract is therefore
+    * weaker by design: a key REAPPEARING after eviction is re-admitted
+    * (StreamingSpec pins exactly that — drop inside the window, re-admit
+    * after it), which is correct when upstream duplicate windows are
+    * bounded (retries, replays) and is the price of bounded state.
+    */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String, delay: String,
+      keyCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** One-shot watermark-bounded dedup of the events stream on
+    * (user_id, event_type), rolled up to per-type survivor counts. With a
+    * delay longer than the table's time span nothing is ever evicted, so
+    * the survivor set equals batch distinct pairs REGARDLESS of
+    * file-to-batch assignment — the oracle-checkable anchor; the
+    * eviction behavior itself is pinned by StreamingSpec with a
+    * controlled file order.
+    */
+  def runEventDedupAvailableNow(
+      spark: SparkSession, path: String, delay: String = "3650 days",
+      maxFilesPerTrigger: Int = 4): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+    val name = s"graft_stream_evdedup_${System.nanoTime()}"
+    val q = dedupWithinWatermark(stream, "ts", delay,
+        Seq("user_id", "event_type"))
+      .select("user_id", "event_type") // key-only projection: emitted SET
+      .writeStream                     // is deterministic, first-winner isn't
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("event_type").agg(count(lit(1)).as("n_unique_users"))
+  }
 }

@@ -258,6 +258,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("watermark-bounded dedup drops in-window, re-admits after eviction") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EvIn]
+    val out = graft.streaming.StreamingDedup
+      .dedupWithinWatermark(mem.toDF(), "ts", "60 seconds",
+        Seq("user_id", "event_type"))
+      .select("user_id", "event_type")
+    val q = out.writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append").start()
+    def t(v: String) = Timestamp.valueOf(v)
+    try {
+      mem.addData(EvIn(t("2026-01-01 00:00:00"), 1L, "a"))
+      q.processAllAvailable() // first arrival: emitted, state opens
+      mem.addData(
+        EvIn(t("2026-01-01 00:00:30"), 1L, "a"),  // in-window dup: dropped
+        EvIn(t("2026-01-01 01:00:00"), 2L, "a"))  // watermark → 00:59:00
+      q.processAllAvailable()
+      mem.addData(EvIn(t("2026-01-01 01:00:30"), 1L, "a"))
+      q.processAllAvailable() // u1 state evicted (expiry 00:01:00) → re-admit
+      val emits = spark.table("wm_dedup")
+        .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+      assert(emits(1L) === 2L, "initial + post-eviction re-admission")
+      assert(emits(2L) === 1L)
+    } finally q.stop()
+  }
+
+  test("AvailableNow watermark dedup with no eviction equals batch distinct") {
+    val path = graft.sources.DocSource.materializedEvents(spark, sf0001)
+    val streamed = graft.streaming.StreamingDedup
+      .runEventDedupAvailableNow(spark, path, maxFilesPerTrigger = 2)
+      .orderBy("event_type").collect().toSeq
+    val batch = spark.read.parquet(s"$sf0001/events.parquet")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_unique_users"))
+      .orderBy("event_type").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
 
 case class DocIn(doc_id: Long, text: String, source: String)
+case class EvIn(ts: java.sql.Timestamp, user_id: Long, event_type: String)
