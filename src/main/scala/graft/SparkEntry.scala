@@ -880,6 +880,20 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Quantized IVF probe (new in r5): same exact-precision build-time
+    * centroids/assignment, int8 payload + codebook on disk (4× smaller
+    * index), dequantize-on-probe ([[VectorIndex.ivfQuantized]]). The
+    * oracle replays the full quantize→dequantize→probe arithmetic.
+    */
+  def eAnnIvfQ(spark: SparkSession, dir: String): DataFrame = {
+    val (idx, cent, cb) =
+      VectorIndex.ivfQuantized(spark, embs(spark, dir), vecTag(dir), 8)
+    VectorIndex.ivfQuantizedTopK(spark, idx, cent, cb,
+        queryVec(spark, dir), 10, nProbe = 2)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("vec_id")
+  }
+
   /** IVF with one LLOYD REFINEMENT iteration (VERDICT r2 #8): the stored
     * centroids are the per-component means of the seed assignment — better
     * balanced lists, same probe shapes. The oracle replicates the full
@@ -1314,6 +1328,7 @@ object Queries {
     "v_quarantine" -> (vQuarantine _),
     "e_retention" -> (eRetention _),
     "s_event_dedup_wm" -> (sEventDedupWm _),
+    "e_ann_ivf_q" -> (eAnnIvfQ _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -2478,6 +2493,46 @@ object Queries {
          |SELECT vec_id, round(cos, 6) AS cos FROM (
          |  SELECT emb.vec_id, ${duckCos("emb.e", "(SELECT qe FROM q)")} AS cos
          |  FROM emb JOIN assign USING (vec_id) JOIN probed USING (centroid_id)
+         |  ORDER BY cos DESC, vec_id LIMIT 10)
+         |ORDER BY vec_id""".stripMargin,
+
+    // quantized IVF: exact seed/assignment/probe-selection as e_ann_ivf_idx,
+    // then per-dim global codebook, floor(+0.5) int8 codes, dequantized
+    // cosine within the probed lists — the full on-disk arithmetic replayed
+    "e_ann_ivf_q" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |             FROM embeddings),
+         |cent AS (SELECT vec_id AS centroid_id, e AS ce FROM emb
+         |         ORDER BY vec_id LIMIT 8),
+         |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT emb.vec_id, cent.centroid_id,
+         |           row_number() OVER (PARTITION BY emb.vec_id
+         |             ORDER BY ${duckCos("emb.e", "cent.ce")} DESC, cent.centroid_id) AS rn
+         |    FROM emb CROSS JOIN cent) WHERE rn = 1),
+         |probed AS (
+         |  SELECT centroid_id FROM cent
+         |  ORDER BY ${duckCos("ce", "(SELECT qe FROM q)")} DESC, centroid_id
+         |  LIMIT 2),
+         |comp AS (
+         |  SELECT vec_id, u.pos AS pos, u.v AS v FROM (
+         |    SELECT vec_id,
+         |           unnest(list_transform(range(1, len(e)+1),
+         |             j -> struct_pack(pos := j-1, v := e[j]))) AS u
+         |    FROM emb)),
+         |cb AS (SELECT pos, min(v) AS lo, max(v) AS hi FROM comp
+         |       GROUP BY pos),
+         |dq AS (
+         |  SELECT vec_id,
+         |         list(CASE WHEN hi = lo THEN lo
+         |              ELSE floor(255.0*(v-lo)/(hi-lo) + 0.5)
+         |                   / 255.0 * (hi-lo) + lo END
+         |              ORDER BY pos) AS d
+         |  FROM comp JOIN cb USING (pos) GROUP BY vec_id)
+         |SELECT vec_id, round(cos, 6) AS cos FROM (
+         |  SELECT dq.vec_id, ${duckCos("dq.d", "(SELECT qe FROM q)")} AS cos
+         |  FROM dq JOIN assign USING (vec_id) JOIN probed USING (centroid_id)
          |  ORDER BY cos DESC, vec_id LIMIT 10)
          |ORDER BY vec_id""".stripMargin,
 

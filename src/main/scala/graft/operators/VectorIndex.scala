@@ -115,6 +115,82 @@ object VectorIndex {
       .write.mode("append").partitionBy("centroid_id").parquet(indexDir)
   }
 
+  /** QUANTIZED IVF: same build as [[ivf]] (exact-precision centroid seed
+    * and assignment — full fidelity where it's cheap) but the stored
+    * per-vector payload is the int8 code array from
+    * [[SimilarityOps.quantizeInt8]] plus a dim-sized (pos, lo, hi)
+    * codebook — a 4× smaller index (byte codes vs float32), which at
+    * 100 TB is the difference between an index that fits hot storage and
+    * one that doesn't. Probes dequantize on the fly from the broadcast
+    * codebook; IndexSpec pins recall@10 vs the exact index.
+    * Returns `(indexDir, centroidsDir, codebookDir)`.
+    */
+  def ivfQuantized(spark: SparkSession, embeddings: => DataFrame,
+      tag: String, nCentroids: Int): (String, String, String) =
+    synchronized {
+      val base = s"$cacheBase/ivfq_${tag}_c$nCentroids"
+      val idx = s"$base/index"
+      val cent = s"$base/centroids"
+      val cb = s"$base/codebook"
+      if (!ready(spark, idx)) {
+        val e = embeddings
+        SimilarityOps.centroids(e, nCentroids)
+          .coalesce(1).write.mode("overwrite").parquet(cent)
+        val stored = spark.read.parquet(cent)
+        e.select(posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "v")))
+          .groupBy("pos")
+          .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+          .coalesce(1).write.mode("overwrite").parquet(cb)
+        val codes = SimilarityOps.quantizeInt8(e)
+          .select(col("vec_id"),
+            // tinyint payload: the 4× claim is on-disk, not just logical
+            col("q_embedding").cast("array<tinyint>").as("q_embedding"))
+        SimilarityOps.assignTo(
+            e.select(col("vec_id"),
+              col("embedding").cast("array<double>").as("embedding")),
+            stored)
+          .join(codes, Seq("vec_id"))
+          .repartition(col("centroid_id"))
+          .write.mode("overwrite").partitionBy("centroid_id").parquet(idx)
+      }
+      (idx, cent, cb)
+    }
+
+  /** Top-k over the quantized index: exact centroid scoring picks the
+    * `nProbe` lists (centroids are stored exact — they're tiny), the
+    * probed partitions' byte codes are dequantized inline against the
+    * broadcast codebook (two dim-sized literal arrays — no join in the
+    * per-vector loop), and cosine runs on the reconstructed vectors.
+    */
+  def ivfQuantizedTopK(spark: SparkSession, indexDir: String,
+      centroidsDir: String, codebookDir: String,
+      query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+    val q = lit(query.toArray)
+    val probed = spark.read.parquet(centroidsDir)
+      .select(col("centroid_id"),
+        SimilarityOps.cosine(col("centroid"), q).as("sim"))
+      .orderBy(col("sim").desc, col("centroid_id"))
+      .limit(nProbe)
+      .collect().map(_.getLong(0).toInt).toSeq
+    // dim-sized collect: the codebook rides into codegen as two literals
+    val book = spark.read.parquet(codebookDir)
+      .orderBy("pos").select("lo", "hi")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val lo = lit(book.map(_._1))
+    val hi = lit(book.map(_._2))
+    val deq = transform(col("q_embedding"), (c, i) => {
+      val l = get(lo, i); val h = get(hi, i) // 0-based array access
+      (c.cast("double") + 128.0) / 255.0 * (h - l) + l
+    })
+    spark.read.parquet(indexDir)
+      .where(col("centroid_id").isin(probed: _*))
+      .select(col("vec_id"),
+        SimilarityOps.cosine(deq, q).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   // ---- banded LSH -------------------------------------------------------
 
   /** Build (first call) and return the banded-LSH index path. */

@@ -233,6 +233,26 @@ class IndexSpec extends SparkSpec {
     assert(m1 < m0, s"seed max list $m0, refined max list $m1")
   }
 
+  test("quantized ivf: int8 payload on disk, high recall vs exact probe") {
+    val (idx, cent, cb) =
+      VectorIndex.ivfQuantized(spark, embs, "specq0001", 8)
+    // stored payload really is byte-typed (the 4× on-disk claim)
+    val schema = spark.read.parquet(idx).schema("q_embedding").dataType
+    assert(schema === org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType))
+    // codebook is dim-sized
+    assert(spark.read.parquet(cb).count() === 64L)
+    val exact = VectorIndex.ivfTopK(spark,
+        VectorIndex.ivf(spark, embs, "spec0001", 8)._1,
+        VectorIndex.ivf(spark, embs, "spec0001", 8)._2, qv, 10, 2)
+      .select("vec_id").as[Long].collect().toSet
+    val quant = VectorIndex.ivfQuantizedTopK(spark, idx, cent, cb,
+        qv, 10, 2)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exact.intersect(quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall@10 too low: $recall")
+  }
+
   test("oversized-bucket guard reports what the candidate join drops") {
     val clones = (1L to 120L).map(i => (i, "w x y z " * 5)).toDF("doc_id", "text")
     val dropped = DedupOps.oversizedBuckets(
