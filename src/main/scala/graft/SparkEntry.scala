@@ -1046,6 +1046,23 @@ object Queries {
     * fingerprints shared per source pair — the domain-contamination view
     * a mixing strategy reads before weighting sources.
     */
+  /** BPE merge candidates (new in r5): top-20 most frequent ADJACENT token
+    * pairs over the pre-tokenized sequences — one merge round of a subword
+    * vocabulary trainer, run on the engine's native payload
+    * ([[graft.operators.VocabOps.mergeCandidates]]).
+    */
+  def vTokenBigrams(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.VocabOps.mergeCandidates(tok(spark, dir), 20)
+      .orderBy("rank")
+
+  /** Token-pair PMI (new in r5): top-20 adjacent pairs by pointwise mutual
+    * information (count ≥ 5) — collocation strength over the token stream
+    * ([[graft.operators.VocabOps.pmiTopK]]).
+    */
+  def vTokenPmi(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.VocabOps.pmiTopK(tok(spark, dir), 20, 5)
+      .orderBy(col("pmi").desc, col("t1"), col("t2"))
+
   /** Watermark-bounded streaming dedup (new in r5): the bounded-state
     * ingest-dedup shape — `dropDuplicatesWithinWatermark` over the events
     * stream on (user_id, event_type). The registry anchor uses a delay
@@ -1329,6 +1346,8 @@ object Queries {
     "e_retention" -> (eRetention _),
     "s_event_dedup_wm" -> (sEventDedupWm _),
     "e_ann_ivf_q" -> (eAnnIvfQ _),
+    "v_token_bigrams" -> (vTokenBigrams _),
+    "v_token_pmi" -> (vTokenPmi _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -2139,6 +2158,60 @@ object Queries {
          |      FROM tok t LEFT JOIN bad b USING (doc_id))
          |SELECT bucket, source, count(*) AS n_rows FROM f
          |GROUP BY bucket, source ORDER BY bucket, source""".stripMargin,
+
+    // adjacent token pairs regenerated from the synthesis congruences
+    // (j=0 substitution only affects the pair's FIRST element; j+1 >= 1)
+    "v_token_bigrams" ->
+      s"""WITH $cte,
+         |ex AS (
+         |  SELECT CASE WHEN j = 0 AND key % 109 = 0 THEN 50000 + key % 7
+         |              ELSE (key*31 + j*17) % 50000 END AS t1,
+         |         (key*31 + (j+1)*17) % 50000 AS t2
+         |  FROM (SELECT *, unnest(generate_series(0,
+         |                    CAST(n_true AS BIGINT) - 2)) AS j
+         |        FROM tok WHERE NOT tokens_null AND n_true >= 2)),
+         |c AS (SELECT CAST(t1 AS INT) AS t1, CAST(t2 AS INT) AS t2,
+         |             count(*) AS cnt
+         |      FROM ex GROUP BY 1, 2)
+         |SELECT t1, t2, cnt, CAST(rank AS INT) AS rank FROM (
+         |  SELECT t1, t2, cnt,
+         |         row_number() OVER (ORDER BY cnt DESC, t1, t2) AS rank
+         |  FROM c)
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // PMI as a difference of logs of exact-count ratios, ordered by the
+    // ROUNDED pmi with (t1, t2) tie-break in both engines
+    "v_token_pmi" ->
+      s"""WITH $cte,
+         |ex AS (
+         |  SELECT CASE WHEN j = 0 AND key % 109 = 0 THEN 50000 + key % 7
+         |              ELSE (key*31 + j*17) % 50000 END AS t1,
+         |         (key*31 + (j+1)*17) % 50000 AS t2
+         |  FROM (SELECT *, unnest(generate_series(0,
+         |                    CAST(n_true AS BIGINT) - 2)) AS j
+         |        FROM tok WHERE NOT tokens_null AND n_true >= 2)),
+         |c AS (SELECT CAST(t1 AS INT) AS t1, CAST(t2 AS INT) AS t2,
+         |             count(*) AS cnt
+         |      FROM ex GROUP BY 1, 2),
+         |uex AS (
+         |  SELECT CASE WHEN j = 0 AND key % 109 = 0 THEN 50000 + key % 7
+         |              ELSE (key*31 + j*17) % 50000 END AS token
+         |  FROM (SELECT *, unnest(generate_series(0,
+         |                    CAST(n_true AS BIGINT) - 1)) AS j
+         |        FROM tok WHERE NOT tokens_null)),
+         |u AS (SELECT CAST(token AS INT) AS token, count(*) AS uc
+         |      FROM uex GROUP BY 1),
+         |nb AS (SELECT CAST(sum(cnt) AS DOUBLE) AS nb FROM c),
+         |nu AS (SELECT CAST(sum(uc) AS DOUBLE) AS nu FROM u)
+         |SELECT t1, t2, cnt,
+         |       round(ln(CAST(cnt AS DOUBLE) / nb.nb)
+         |             - ln(CAST(u1.uc AS DOUBLE) / nu.nu)
+         |             - ln(CAST(u2.uc AS DOUBLE) / nu.nu), 6) AS pmi
+         |FROM c
+         |JOIN u u1 ON c.t1 = u1.token
+         |JOIN u u2 ON c.t2 = u2.token, nb, nu
+         |WHERE cnt >= 5
+         |ORDER BY pmi DESC, t1, t2 LIMIT 20""".stripMargin,
 
     // watermark-delay exceeds the table's span => no eviction => survivors
     // equal batch distinct (user, type) pairs per type
