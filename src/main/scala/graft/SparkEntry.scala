@@ -1046,6 +1046,25 @@ object Queries {
     * fingerprints shared per source pair — the domain-contamination view
     * a mixing strategy reads before weighting sources.
     */
+  /** The rule engine applied to a SECOND table shape (new in r5): the
+    * documents table validated with a char-length consistency rule (the
+    * string analogue of the token-array length check), an n_chars band,
+    * and a language value-set — per-(source, rule) violation counts. The
+    * engine is table-agnostic by construction; this pins it.
+    */
+  def vDocsValidate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.rules.{CharLengthConsistencyRule, RangeRule, ReferentialRule, RuleSet}
+    val rules = RuleSet("docs", Seq(
+      CharLengthConsistencyRule("chars_match", "text", "n_chars"),
+      RangeRule("chars_band", "n_chars", 1, 500, severity = "warning"),
+      ReferentialRule("lang_allowed", "lang", "langs")))
+    val dms = Map("langs" -> Seq("de", "en", "es", "fr").toDF("lang"))
+    Validator.violations(docs(spark, dir), rules, dms)
+      .groupBy("source", "rule_id").agg(count(lit(1)).as("cnt"))
+      .orderBy("source", "rule_id")
+  }
+
   /** BPE merge candidates (new in r5): top-20 most frequent ADJACENT token
     * pairs over the pre-tokenized sequences — one merge round of a subword
     * vocabulary trainer, run on the engine's native payload
@@ -1348,6 +1367,7 @@ object Queries {
     "e_ann_ivf_q" -> (eAnnIvfQ _),
     "v_token_bigrams" -> (vTokenBigrams _),
     "v_token_pmi" -> (vTokenPmi _),
+    "v_docs_validate" -> (vDocsValidate _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -2158,6 +2178,21 @@ object Queries {
          |      FROM tok t LEFT JOIN bad b USING (doc_id))
          |SELECT bucket, source, count(*) AS n_rows FROM f
          |GROUP BY bucket, source ORDER BY bucket, source""".stripMargin,
+
+    // the documents table under the same rule semantics: char-length
+    // consistency, n_chars band, language value-set membership
+    "v_docs_validate" ->
+      """WITH v AS (
+        |  SELECT source, 'chars_match' AS rule_id FROM documents
+        |  WHERE text IS NOT NULL AND length(text) <> n_chars
+        |  UNION ALL
+        |  SELECT source, 'chars_band' FROM documents
+        |  WHERE n_chars IS NOT NULL AND (n_chars < 1 OR n_chars >= 500)
+        |  UNION ALL
+        |  SELECT source, 'lang_allowed' FROM documents
+        |  WHERE lang IS NULL OR lang NOT IN ('de', 'en', 'es', 'fr'))
+        |SELECT source, rule_id, count(*) AS cnt FROM v
+        |GROUP BY source, rule_id ORDER BY source, rule_id""".stripMargin,
 
     // adjacent token pairs regenerated from the synthesis congruences
     // (j=0 substitution only affects the pair's FIRST element; j+1 >= 1)

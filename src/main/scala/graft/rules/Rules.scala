@@ -46,6 +46,16 @@ final case class TokenBoundsRule(
     id: String, arrayColumn: String, lo: Int, hi: Int,
     severity: String = "error", appliesTo: Option[String] = None) extends Rule
 
+/** String-length analogue of [[LengthConsistencyRule]]: a declared length
+  * column must equal the CHARACTER length of a string column — the
+  * documents-table form of the reference's fixed-value cross-field checks
+  * (a stored `n_chars` disagreeing with the text marks a truncated or
+  * re-encoded payload).
+  */
+final case class CharLengthConsistencyRule(
+    id: String, textColumn: String, lengthColumn: String,
+    severity: String = "error", appliesTo: Option[String] = None) extends Rule
+
 /** Scalar range check (value-range analogue, SURVEY.md §2 row 14). */
 final case class RangeRule(
     id: String, column: String, lo: Long, hi: Long,
@@ -96,7 +106,8 @@ final case class UniqueRule(
 final case class RuleSet(name: String, rules: Seq[Rule]) {
   def rowRules: Seq[Rule] = rules.filter {
     case _: NotNullRule | _: LengthConsistencyRule | _: TokenBoundsRule |
-         _: RangeRule | _: FixedValueRule | _: ColumnBoundsRule => true
+         _: RangeRule | _: FixedValueRule | _: ColumnBoundsRule |
+         _: CharLengthConsistencyRule => true
     // a conditional wrapping a non-row rule must FAIL in compileRow, not be
     // silently dropped here (same policy as the loader's malformed-set check)
     case _: ConditionalRule => true
@@ -148,6 +159,11 @@ object RuleCompiler {
         gate(rule, col(arr).isNotNull && size(col(arr)) =!= col(len)),
         concat(lit(s"$len="), col(len).cast("string"),
           lit(" size="), size(col(arr)).cast("string")))
+    case CharLengthConsistencyRule(id, txt, len, sev, _) =>
+      CompiledRowRule(id, sev,
+        gate(rule, col(txt).isNotNull && length(col(txt)) =!= col(len)),
+        concat(lit(s"$len="), col(len).cast("string"),
+          lit(" length="), length(col(txt)).cast("string")))
     case TokenBoundsRule(id, arr, lo, hi, sev, _) =>
       // array_min/array_max, NOT `forall` — a higher-order function is
       // CodegenFallback and would bar the whole single-scan rule pass from
@@ -223,6 +239,9 @@ object RuleSetLoader {
       case "notNull" => NotNullRule(id, str(v, "column"), sev, app)
       case "lengthConsistency" =>
         LengthConsistencyRule(id, str(v, "arrayColumn"), str(v, "lengthColumn"), sev, app)
+      case "charLengthConsistency" =>
+        CharLengthConsistencyRule(id, str(v, "textColumn"),
+          str(v, "lengthColumn"), sev, app)
       case "tokenBounds" =>
         TokenBoundsRule(id, str(v, "arrayColumn"),
           long(v, "lo", 0).toInt, long(v, "hi", Int.MaxValue).toInt, sev, app)

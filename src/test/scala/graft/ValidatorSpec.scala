@@ -177,6 +177,24 @@ class ValidatorSpec extends SparkSpec {
       RangeRule("rg", "n_tok", 1, 10, "warning", None))
   }
 
+  test("charLengthConsistency: string-length rule compiles and loads") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "abcd", 4, "A"), (2L, "abc", 9, "A"),
+        (3L, null.asInstanceOf[String], 5, "N"))
+      .toDF("doc_id", "text", "n_chars", "source")
+    val routing = RuleSetLoader.parse(
+      """{"ruleSets": {"d": [{"type":"charLengthConsistency","id":"cm",
+        |  "textColumn":"text","lengthColumn":"n_chars"}]},
+        | "routing": {}, "defaultRuleSet": "d"}""".stripMargin)
+    val v = Validator.rowViolations(d,
+        routing.ruleSets("d").rules)
+      .select("doc_id", "rule_id").as[(String, String)].collect().toSeq
+    // only the mismatching non-null row fires; null text is a NotNull
+    // concern, not a length one
+    assert(v === Seq(("2", "cm")))
+  }
+
   test("malformed rule-set body fails loudly, never an empty rule set") {
     val bad = """{"ruleSets": {"oops": {"type":"notNull"}},
                 | "routing": {}, "defaultRuleSet": "oops"}""".stripMargin
