@@ -48,4 +48,30 @@ object Quarantine {
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
     spark.read.parquet(outDir)
   }
+
+  /** Split-write with the clean output laid out `bucketBy(nBuckets,
+    * keyCol) + sortBy(keyCol)` — the repeat-validation layout: the
+    * BASELINE.md bucketed-layout measurement showed the uniqueness
+    * aggregate's corpus-wide exchange disappears when the table is
+    * bucketed on the key (scan satisfies the distribution; on a real
+    * cluster that exchange is the network all-to-all of the whole
+    * corpus), at the price of paying the shuffle once in this write.
+    * Use when the output is validated repeatedly — the resumable
+    * lifecycle's standing assumption; [[splitWrite]] stays the one-shot
+    * default. Registered as `table` (bucket metadata lives in the
+    * catalog); returns the table, and QuarantineSpec pins that a
+    * uniqueness pass over it plans exchange-free.
+    */
+  def splitWriteBucketed(spark: SparkSession, df: DataFrame,
+      ruleSet: RuleSet, dims: Map[String, DataFrame], outDir: String,
+      table: String, nBuckets: Int = 32,
+      keyCol: String = "doc_id"): DataFrame = {
+    flag(df, ruleSet, dims, keyCol)
+      .write.mode("overwrite")
+      .partitionBy("bucket")
+      .bucketBy(nBuckets, keyCol).sortBy(keyCol)
+      .option("path", outDir).format("parquet")
+      .saveAsTable(table)
+    spark.table(table)
+  }
 }

@@ -244,6 +244,39 @@ object Explain {
       timed("diff_by_source2")(SnapshotDiff.diffBySource(stok, prev).count())
       timed("diff_changed")(SnapshotDiff.changedSources(stok, prev).count())
     }
+    if (args.contains("--vocab")) {
+      // 2c→8c profile of the vocabulary/LM operator family at ×SCALE:
+      // bigram + PMI over the scaled token table, unigram-LM scoring and
+      // Zipf slope over a replicated documents table. All four must scale
+      // like the rule pass (hash aggregates + broadcast joins — no flat
+      // component); the plan proof pins the PMI/LM joins as broadcasts
+      // (a vocabulary join falling to a sort-merge would shuffle the
+      // exploded corpus — the 100 TB failure mode).
+      import graft.operators.{TextOps, VocabOps}
+      val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "16").toInt
+      val stok = TokenTable.tokensScaled(spark, sfDir, scale)
+      VocabOps.bigramCounts(stok).count() // warm
+      timed("vb_bigrams")(VocabOps.bigramCounts(stok).count())
+      timed("vb_bigrams2")(VocabOps.bigramCounts(stok).count())
+      timed("vb_pmi")(VocabOps.pmiTopK(stok, 20, 5).count())
+      timed("vb_pmi2")(VocabOps.pmiTopK(stok, 20, 5).count())
+      val sdocs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .crossJoin(spark.range(scale).toDF("r"))
+        .withColumn("doc_id", col("doc_id") + col("r") * 10000000L)
+        .drop("r")
+      TextOps.unigramLogProb(sdocs).count() // warm
+      timed("vb_lm_score")(TextOps.unigramLogProb(sdocs).count())
+      timed("vb_lm_score2")(TextOps.unigramLogProb(sdocs).count())
+      timed("vb_zipf")(TextOps.zipfSlope(sdocs).count())
+      timed("vb_zipf2")(TextOps.zipfSlope(sdocs).count())
+      val lmPlan = TextOps.unigramLogProb(sdocs)
+        .queryExecution.executedPlan.toString
+      val pmiPlan = VocabOps.pmiTopK(stok, 20, 5)
+        .queryExecution.executedPlan.toString
+      println("[explain] vb_lm_broadcast=" +
+        lmPlan.contains("BroadcastHashJoin") +
+        " vb_pmi_broadcast=" + pmiPlan.contains("BroadcastHashJoin"))
+    }
     if (args.contains("--registry")) {
       // interleaved same-JVM A/B of the registry queries the r4 bench
       // artifact flagged (r_report_* 4-20× slower) against stable v_*

@@ -25,6 +25,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans(Queries.vRoutedMatrix(spark, sf001)) <= 6)
   }
 
+  test("vocabulary-sized joins broadcast (LM scoring, PMI)") {
+    // the per-word log-prob / unigram joins key the CORPUS-sized exploded
+    // frame against vocabulary-sized tables — they must plan as broadcasts;
+    // falling to sort-merge would shuffle the exploded corpus (the 100 TB
+    // failure mode for these operators)
+    val lm = Queries.dLmScore(spark, sf001).queryExecution.executedPlan
+    assert(lm.toString.contains("BroadcastHashJoin"), lm.toString.take(1200))
+    assert(!lm.toString.contains("SortMergeJoin"))
+    val pmi = Queries.vTokenPmi(spark, sf001).queryExecution.executedPlan
+    assert(pmi.toString.contains("BroadcastHashJoin"), pmi.toString.take(1200))
+    assert(!pmi.toString.contains("SortMergeJoin"))
+  }
+
   test("per-row pipeline operators are single-scan; filter stays codegen'd") {
     assert(scans(Queries.dQualityFilter(spark, sf001)) === 1)
     assert(scans(Queries.dRepetition(spark, sf001)) === 1)

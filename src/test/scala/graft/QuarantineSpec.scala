@@ -30,6 +30,28 @@ class QuarantineSpec extends SparkSpec {
     assert(new java.io.File(s"$out/bucket=quarantine").isDirectory)
   }
 
+  test("bucketed split-write: clean side re-validates exchange-free") {
+    val tok = TokenTable.tokens(spark, sf0001)
+    val ruleSet = graft.rules.RuleSet.default(TokenTable.Vocab)
+    val dims = Map("allowed_sources" -> TokenTable.allowedDim(spark))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_quarantine_bk").toString
+    val tbl = "graft_spec_quarantine_bk"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val written = Quarantine.splitWriteBucketed(
+      spark, tok, ruleSet, dims, out, tbl)
+    assert(written.count() === tok.count()) // still lossless
+    // the repeat-validation payoff: uniqueness over the bucketed output
+    // plans WITHOUT a corpus exchange (scan satisfies the distribution)
+    val uniq = Validator.uniqueViolations(
+      written.where(col("bucket") === "clean"),
+      graft.rules.UniqueRule("u", "doc_id"))
+    uniq.collect()
+    val plan = uniq.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("retention cohorts: offsets start at 0 and cohort sizes dominate") {
     val events = spark.read.parquet(s"$sf001/events.parquet")
     val r = EventOps.retentionCohorts(events)
