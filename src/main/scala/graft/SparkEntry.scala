@@ -1046,6 +1046,20 @@ object Queries {
     * fingerprints shared per source pair — the domain-contamination view
     * a mixing strategy reads before weighting sources.
     */
+  /** Rule-driven auto-repair audit (new in r5): mechanical fixes (length
+    * field := actual size, scalar clamp into band) applied in rule order
+    * in ONE codegen'd pass; per-rule repair counts
+    * ([[graft.engine.Repair]]; closure — repaired table re-validates
+    * clean — pinned by RepairSpec).
+    */
+  def vRepair(spark: SparkSession, dir: String): DataFrame = {
+    import graft.rules.{LengthConsistencyRule, RangeRule}
+    graft.engine.Repair.audit(tok(spark, dir), Seq(
+        LengthConsistencyRule("len_fix", "tokens", "n_tok"),
+        RangeRule("cap_fix", "n_tok", 1, 25)))
+      .orderBy("rule_id")
+  }
+
   /** The rule engine applied to a SECOND table shape (new in r5): the
     * documents table validated with a char-length consistency rule (the
     * string analogue of the token-array length check), an n_chars band,
@@ -1368,6 +1382,7 @@ object Queries {
     "v_token_bigrams" -> (vTokenBigrams _),
     "v_token_pmi" -> (vTokenPmi _),
     "v_docs_validate" -> (vDocsValidate _),
+    "v_repair" -> (vRepair _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -2178,6 +2193,27 @@ object Queries {
          |      FROM tok t LEFT JOIN bad b USING (doc_id))
          |SELECT bucket, source, count(*) AS n_rows FROM f
          |GROUP BY bucket, source ORDER BY bucket, source""".stripMargin,
+
+    // sequential repair replay: the len fix applies first, the clamp sees
+    // the FIXED n_tok; zero-count rules emit no row (explode semantics)
+    "v_repair" ->
+      s"""WITH $cte,
+         |r1 AS (SELECT *,
+         |         (NOT tokens_null AND n_tok <> n_true) AS f1,
+         |         CASE WHEN NOT tokens_null AND n_tok <> n_true
+         |              THEN n_true ELSE n_tok END AS n_tok1
+         |       FROM tok),
+         |r2 AS (SELECT *,
+         |         (n_tok1 IS NOT NULL AND (n_tok1 < 1 OR n_tok1 >= 25))
+         |           AS f2
+         |       FROM r1),
+         |a AS (
+         |  SELECT 'cap_fix' AS rule_id,
+         |         count(*) FILTER (WHERE f2) AS n_repaired FROM r2
+         |  UNION ALL
+         |  SELECT 'len_fix', count(*) FILTER (WHERE f1) FROM r2)
+         |SELECT rule_id, n_repaired FROM a WHERE n_repaired > 0
+         |ORDER BY rule_id""".stripMargin,
 
     // the documents table under the same rule semantics: char-length
     // consistency, n_chars band, language value-set membership
