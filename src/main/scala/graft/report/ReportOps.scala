@@ -227,4 +227,38 @@ object ReportOps {
       .where(col("rank") <= k)
       .select("rule_id", "rank", "doc_id", "source", "detail")
   }
+
+  /** Render an assembled report ([[assemble]] output) as a markdown
+    * document — the human-readable face the reference ships as a LaTeX
+    * PDF (latex_report/report_visualizer.py renders tables per category /
+    * severity; this emits the same structure as markdown sections).
+    * Driver-side BY DESIGN: the report frame is
+    * (category × severity × rule × generalized-detail)-sized — a few
+    * hundred rows regardless of corpus size — so the collect is
+    * report-cardinality, never data-cardinality.
+    */
+  def renderMarkdown(report: DataFrame, title: String): String = {
+    val rows = report
+      .select("category", "severity_rank", "severity", "rule_id",
+        "detail_generic", "cnt")
+      .orderBy("category", "severity_rank", "rule_id", "detail_generic")
+      .collect()
+    val sb = new StringBuilder
+    sb ++= s"# $title\n"
+    val total = rows.map(_.getLong(5)).sum
+    sb ++= s"\nTotal findings: **$total** across ${rows.length} " +
+      "distinct (rule, detail) groups.\n"
+    rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).foreach {
+      case (category, catRows) =>
+        sb ++= s"\n## ${category.capitalize}\n\n"
+        sb ++= "| severity | rule | detail | count |\n"
+        sb ++= "|---|---|---|---|\n"
+        catRows.sortBy(r => (r.getInt(1), r.getString(3), r.getString(4)))
+          .foreach { r =>
+            sb ++= s"| ${r.getString(2)} | ${r.getString(3)} | " +
+              s"${r.getString(4).replace("|", "\\|")} | ${r.getLong(5)} |\n"
+          }
+    }
+    sb.result()
+  }
 }

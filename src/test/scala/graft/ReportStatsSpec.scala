@@ -125,4 +125,25 @@ class ReportStatsSpec extends SparkSpec {
       .as[(Int, Double)].collect().toMap
     assert(gotShift(5) === 0.0)
   }
+
+  test("markdown render: per-category sections, exact totals, escaped pipes") {
+    import graft.engine.Validator
+    import graft.report.ReportOps
+    import graft.rules.RuleSet
+    import graft.sources.TokenTable
+    val tok = TokenTable.tokens(spark, sf0001)
+    val detailed = Validator.violations(tok,
+      RuleSet.default(TokenTable.Vocab),
+      Map("allowed_sources" -> TokenTable.allowedDim(spark)))
+    val report = ReportOps.assemble(detailed, Seq("ref_source"))
+    val md = ReportOps.renderMarkdown(report, "validation report")
+    assert(md.startsWith("# validation report"))
+    assert(md.contains("## Fdpg") && md.contains("## General"))
+    val total = report.agg(sum("cnt")).as[Long].collect().head
+    assert(md.contains(s"Total findings: **$total**"))
+    // one table row per report row
+    assert(md.linesIterator.count(l =>
+      l.startsWith("| ") && !l.startsWith("| severity")) ===
+      report.count().toInt)
+  }
 }
