@@ -90,8 +90,15 @@ object Bench {
     // two samples of one query land ~half the registry apart in time, so
     // a multi-minute degraded window can no longer take both.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // each sample records (wall seconds, epoch-ms start): the r4 AND r5
+    // driver artifacts were poisoned by degraded box windows that could only
+    // be adjudicated after the fact in separate runs — with per-sample start
+    // timestamps a degraded stretch is identifiable from the artifact alone
+    // (every slow sample clusters in one wall-clock interval).
     def once(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Long) = {
+      val ts = System.currentTimeMillis()
       val (ok, sec) = timed {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
@@ -99,16 +106,18 @@ object Bench {
           false
         }
       }
-      if (ok) sec else -1.0
+      (if (ok) sec else -1.0, ts)
     }
     val round1 = ordered.map { case (name, fn) => once(name, fn) }
-    val round2 = ordered.zip(round1).map { case ((name, fn), t1) =>
-      if (t1 < 0) t1 else once(name, fn)
-    }
+    // a round-1 failure IS retried in round 2 (it used to be frozen at -1):
+    // a transient degraded-window failure must not permanently mark a
+    // healthy query failed — only failing BOTH rounds reports -1.
+    val round2 = ordered.map { case (name, fn) => once(name, fn) }
     val runs = ordered.map(_._1).zip(round1.zip(round2))
-      .map { case (name, (t1, t2)) => name -> Seq(t1, t2) }
-    val results = runs.map { case (name, ts) =>
-      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+      .map { case (name, (s1, s2)) => name -> (Seq(s1._1, s2._1), Seq(s1._2, s2._2)) }
+    val results = runs.map { case (name, (ts, _)) =>
+      val ok = ts.filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     // authoritative metric: validated sequences/sec over the full pass.
     // Warm-up once (JIT + token-table materialization), then best of 3 —
@@ -121,10 +130,11 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // both raw runs per query, so the artifact documents the spread the
-    // best-of-2 collapses
-    val qruns = runs.map { case (k, ts) =>
-      "\"" + k + "\":" + ts.mkString("[", ",", "]")
+    // both raw runs per query PLUS each sample's epoch-ms start, so the
+    // artifact documents the spread the best-of-2 collapses AND a degraded
+    // box stretch is identifiable from the artifact alone: [t1,t2,ts1,ts2]
+    val qruns = runs.map { case (k, (secs, starts)) =>
+      "\"" + k + "\":" + (secs ++ starts.map(_.toDouble)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + samples.map(_._2).sum
     val sampleStr = samples.map(_._2).mkString("[", ",", "]")

@@ -141,8 +141,16 @@ object ValidationRunner {
       snapshotId: Long,
       violationsDir: Option[String] = None): RunResult = {
 
+    // NULL source is a real partition (the default-routed slice): it keys
+    // the manifest under the sentinel and is selected back with an IS NULL
+    // predicate via sliceFilter — a bare isin(null) never matches, which
+    // would let every null-source row silently escape validation (the same
+    // hole ADVICE r5 flagged in SnapshotDiff.changedSources)
     val all = tokens.select("source").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+      .collect()
+      .map(r => Option(r.getString(0))
+        .getOrElse(SnapshotDiff.NullSourceSentinel))
+      .toSeq.sorted
     val done = Checkpoint.completedPartitions(spark, manifestPath, snapshotId)
     val pending = all.filterNot(done.toSet)
 
@@ -165,7 +173,7 @@ object ValidationRunner {
     // inside the containment try: a poison partition in the batched write
     // must fall through to the per-partition fallback, not abort the run
     // uncaught with zero manifest rows for the healthy partitions.
-    val slice = tokens.where(col("source").isin(pending: _*))
+    val slice = tokens.where(SnapshotDiff.sliceFilter(pending))
     val t0 = System.nanoTime()
     var summary: DataFrame = null
     val rows = try {
@@ -196,7 +204,7 @@ object ValidationRunner {
         val retryTs = math.max(
           Checkpoint.nextRunTs(spark, manifestPath), runTs + 1)
         val perPart = pending.map { p =>
-          val one = tokens.where(col("source") === lit(p))
+          val one = tokens.where(SnapshotDiff.sliceFilter(Seq(p)))
           val tp = System.nanoTime()
           try {
             val s = violationsDir match {
@@ -206,7 +214,7 @@ object ValidationRunner {
                 Validator.summaryFromCounts(
                   one.groupBy("source").agg(count(lit(1)).as("n_rows")),
                   ViolationStore.generation(spark, vd, snapshotId, retryTs)
-                    .where(col("source") === lit(p))).collect()
+                    .where(SnapshotDiff.sliceFilter(Seq(p)))).collect()
               case None =>
                 Validator.summary(one, violationsOf(one)).collect()
             }
@@ -232,8 +240,9 @@ object ValidationRunner {
     }
     val wallMs = (System.nanoTime() - t0) / 1000000
     val entries = rows.map { r =>
-      ManifestEntry(r.getString(0), snapshotId, "ok",
-        r.getLong(1), r.getLong(2), wallMs)
+      ManifestEntry(
+        Option(r.getString(0)).getOrElse(SnapshotDiff.NullSourceSentinel),
+        snapshotId, "ok", r.getLong(1), r.getLong(2), wallMs)
     }.toSeq
     // sources with zero rows in this slice (possible under routing) still
     // need manifest rows so resume terminates

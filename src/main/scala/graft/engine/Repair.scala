@@ -68,11 +68,42 @@ object Repair {
   /** The input with repairable violations FIXED and a `_repairs` column
     * listing the rule ids applied to each row (empty array = untouched).
     */
-  def repaired(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+  def repaired(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    repairedGated(df, repairable(rules).map(r => (r, None)))
+
+  /** Repair under per-source rule-set ROUTING — each set's repairable
+    * rules fire only on the rows routed to that set (same null-safe gate
+    * semantics as [[Validator.violationsRouted]]: a NULL source belongs to
+    * the default set). Still one codegen'd projection chain: the gates are
+    * conjuncts on the fix predicates, not extra passes.
+    */
+  def repairedRouted(df: DataFrame,
+      routing: graft.rules.RuleSetLoader.Routing): DataFrame = {
+    val routedTo: Map[String, Seq[String]] =
+      routing.routing.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap
+    val routedElsewhere: Seq[String] = routing.routing.collect {
+      case (src, s) if s != routing.defaultRuleSet => src
+    }.toSeq.sorted
+    def gateFor(setName: String): Option[Column] =
+      if (setName == routing.defaultRuleSet) {
+        if (routedElsewhere.isEmpty) None
+        else Some(coalesce(!col("source").isin(routedElsewhere: _*), lit(true)))
+      } else Some(col("source").isin(routedTo.getOrElse(setName, Nil): _*))
+    val sets = routing.ruleSets.toSeq.sortBy(_._1).filter { case (name, _) =>
+      name == routing.defaultRuleSet || routedTo.contains(name)
+    }
+    repairedGated(df, sets.flatMap { case (name, rs) =>
+      repairable(rs.rules).map(r => (r, gateFor(name)))
+    })
+  }
+
+  private def repairedGated(df: DataFrame,
+      rules: Seq[(Rule, Option[Column])]): DataFrame = {
     val start = df.withColumn("_repairs",
       array().cast("array<string>"))
-    repairable(rules).foldLeft(start) { (acc, rule) =>
-      val (violated, target, value) = fix(rule)
+    rules.foldLeft(start) { case (acc, (rule, setGate)) =>
+      val (violated0, target, value) = fix(rule)
+      val violated = setGate.map(_ && violated0).getOrElse(violated0)
       // the fold stays column-level: each step's predicate reads the
       // PREVIOUS step's columns, so Catalyst collapses the chain into one
       // projection (no extra scan per rule)

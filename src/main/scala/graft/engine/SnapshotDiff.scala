@@ -42,14 +42,37 @@ object SnapshotDiff {
     rowDiff(cur, prev, cols)
       .groupBy("source", "change").agg(count(lit(1)).as("n_rows"))
 
+  /** Sentinel standing for the NULL source slice in [[changedSources]]
+    * output. NULL is a real routing key — [[Validator.violationsRouted]]
+    * sends null-source rows to the default rule set — so a changed
+    * null-source row must flag its slice for re-validation rather than
+    * silently escape it (ADVICE r5). Use [[sliceFilter]] to turn the
+    * collected source list (sentinel included) back into a row predicate.
+    */
+  val NullSourceSentinel = "__null__"
+
   /** Sources whose content changed between the snapshots — feed this to the
     * resumable runner as the pending set (with unchanged sources marked ok
     * in the manifest) to make re-validation proportional to the CHANGE, not
-    * the corpus.
+    * the corpus. A changed NULL source surfaces as [[NullSourceSentinel]].
     */
   def changedSources(cur: DataFrame, prev: DataFrame,
       cols: Seq[String] = Seq("doc_id", "n_tok", "source", "okey")): DataFrame =
     rowDiff(cur, prev, cols)
-      .where(col("source").isNotNull)
-      .select("source").distinct()
+      .select(coalesce(col("source"), lit(NullSourceSentinel)).as("source"))
+      .distinct()
+
+  /** Row predicate selecting exactly the slices named by a collected
+    * [[changedSources]] list — translates [[NullSourceSentinel]] back into
+    * an IS NULL test (an `isin` alone never matches NULL).
+    */
+  def sliceFilter(changed: Seq[String],
+      sourceCol: org.apache.spark.sql.Column = col("source"))
+      : org.apache.spark.sql.Column = {
+    val named = changed.filterNot(_ == NullSourceSentinel)
+    val base =
+      if (named.isEmpty) lit(false) else sourceCol.isin(named: _*)
+    if (changed.contains(NullSourceSentinel)) base || sourceCol.isNull
+    else base
+  }
 }

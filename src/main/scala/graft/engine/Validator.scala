@@ -197,15 +197,31 @@ object Validator {
     * alternative — the rejoin loses because duplicate sets are NOT small
     * under skew (collapsed keys), which is exactly when uniqueness matters.
     */
-  def uniqueViolations(df: DataFrame, rule: UniqueRule): DataFrame =
-    df.groupBy(col(rule.column))
-      .agg(count(lit(1)).as("cnt"), min(col("source")).as("source"))
+  def uniqueViolations(df: DataFrame, rule: UniqueRule): DataFrame = {
+    val keys = rule.keyColumns
+    // the internal alias keeps the aggregate distinct from a grouping
+    // column when `source` is itself part of a composite key
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), min(col("source")).as("_src"))
       .where(col("cnt") > 1)
-      .select(col(rule.column).cast("string").as("doc_id"),
+      .select(uniqueKeyRendered(rule).as("doc_id"),
         lit(rule.id).as("rule_id"),
-        concat(lit(s"${rule.column} occurs "), col("cnt").cast("string"),
-          lit(" times")).as("detail"),
-        lit(rule.severity).as("severity"), col("source"))
+        concat(lit(s"${uniqueKeyLabel(rule)} occurs "),
+          col("cnt").cast("string"), lit(" times")).as("detail"),
+        lit(rule.severity).as("severity"), col("_src").as("source"))
+  }
+
+  /** Composite keys render `|`-joined into the violation's doc_id slot
+    * (single-column keys keep the exact cast-to-string form, including
+    * NULL → NULL); the detail labels the full key tuple.
+    */
+  private def uniqueKeyRendered(rule: UniqueRule): Column =
+    if (rule.moreColumns.isEmpty) col(rule.column).cast("string")
+    else concat_ws("|", rule.keyColumns.map(c => col(c).cast("string")): _*)
+
+  private def uniqueKeyLabel(rule: UniqueRule): String =
+    if (rule.moreColumns.isEmpty) rule.column
+    else rule.keyColumns.mkString("(", ",", ")")
 
   /** Full rule-set pass → detailed violations
     * (doc_id, rule_id, detail, severity, source).
@@ -498,21 +514,22 @@ object Validator {
     */
   def uniqueViolationsSalted(
       df: DataFrame, rule: UniqueRule, nSalt: Int = 16): DataFrame = {
+    val keys = rule.keyColumns
     val salted = df.withColumn("_salt",
       pmod(hash(col("n_tok"), col("source"), col("tokens"),
         spark_partition_id()), lit(nSalt)))
     val phase1 = salted
-      .groupBy(col(rule.column), col("_salt"))
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(count(lit(1)).as("cnt1"), min(col("source")).as("src1"))
     val phase2 = phase1
-      .groupBy(col(rule.column))
-      .agg(sum(col("cnt1")).as("cnt"), min(col("src1")).as("source"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt1")).as("cnt"), min(col("src1")).as("_src"))
       .where(col("cnt") > 1)
-    phase2.select(col(rule.column).cast("string").as("doc_id"),
+    phase2.select(uniqueKeyRendered(rule).as("doc_id"),
       lit(rule.id).as("rule_id"),
-      concat(lit(s"${rule.column} occurs "), col("cnt").cast("string"),
-        lit(" times")).as("detail"),
-      lit(rule.severity).as("severity"), col("source"))
+      concat(lit(s"${uniqueKeyLabel(rule)} occurs "),
+        col("cnt").cast("string"), lit(" times")).as("detail"),
+      lit(rule.severity).as("severity"), col("_src").as("source"))
   }
 
   /** Ranked duplicate rows via a window function — the alternative
@@ -684,8 +701,13 @@ object Validator {
     */
   def summaryFromCounts(rowCounts: DataFrame, detailed: DataFrame): DataFrame = {
     val viol = detailed.groupBy("source").agg(count(lit(1)).as("nv"))
+    // null-safe join key: NULL source is a real slice (the default-routed
+    // one) — a plain equi-join drops its violation count on the floor and
+    // reports the slice as passing (the summary-side face of the
+    // null-source escape hole ADVICE r5 flagged in SnapshotDiff)
     rowCounts.select(col("source"), col("n_rows"))
-      .join(viol, Seq("source"), "left")
+      .join(viol.select(col("source").as("_vsrc"), col("nv")),
+        col("source") <=> col("_vsrc"), "left")
       .select(col("source"), col("n_rows"),
         coalesce(col("nv"), lit(0L)).as("n_violations"),
         (coalesce(col("nv"), lit(0L)) === 0).as("pass"))

@@ -8,12 +8,13 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata; decode / feature-extraction runs as
   * a partition-local batch transform.
   *
-  * The actual media decode is STUBBED (no image/audio libraries in this
-  * container): [[stubDecode]] derives deterministic fake dimensions/features
-  * from the bytes. Everything Spark-side is real — schema, batching
-  * (mapPartitions = one decoder init per partition, amortized like a Pandas
-  * UDF batch), partitioning, and the column contract — so a real decoder
-  * drops into [[stubDecode]] unchanged.
+  * The PIXEL decode is STUBBED (no image/audio libraries in this
+  * container): [[stubDecode]] derives deterministic fake features from the
+  * bytes. Image DIMENSIONS are real for real payloads — [[imageDimensions]]
+  * parses PNG IHDR / JPEG SOF headers with pure JVM byte reads. Everything
+  * Spark-side is real — schema, batching (mapPartitions = one decoder init
+  * per partition, amortized like a Pandas UDF batch), partitioning, and the
+  * column contract — so a real decoder drops into [[stubDecode]] unchanged.
   */
 object MultimodalOps {
 
@@ -38,6 +39,59 @@ object MultimodalOps {
       col("text").cast("binary").as("payload"),
       lit("image/stub").as("media_type"))
 
+  /** Real image dimensions from PNG IHDR / JPEG SOF headers — pure JVM
+    * byte reads, no codec library (VERDICT r5 #7: make the dimensions real
+    * for real payloads while the pixel decode stays stubbed).
+    *
+    * PNG: 8-byte signature, IHDR is mandated to be the first chunk, so
+    * width/height sit big-endian at fixed offsets 16/20. JPEG: walk the
+    * marker segments from SOI to the first frame header SOF0..SOF15
+    * (skipping the non-frame C4/C8/CC markers and standalone RST/TEM);
+    * height/width sit at offsets 3/5 inside the SOF payload. Returns None
+    * for anything else — callers fall back to the deterministic stub.
+    */
+  def imageDimensions(b: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val isPng = b.length >= 24 &&
+      u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
+      u8(4) == 0x0D && u8(5) == 0x0A && u8(6) == 0x1A && u8(7) == 0x0A &&
+      b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'
+    if (isPng) {
+      val w = be32(16); val h = be32(20)
+      if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+        Some((w.toInt, h.toInt))
+      else None
+    } else if (b.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      var i = 2
+      var out: Option[(Int, Int)] = None
+      var done = false
+      while (!done && i + 3 < b.length) {
+        if (u8(i) != 0xFF) done = true // desynced stream: give up, no guess
+        else {
+          val m = u8(i + 1)
+          if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) i += 2
+          else if (m == 0xD9) done = true // EOI before any SOF
+          else {
+            val len = if (i + 3 < b.length) u16(i + 2) else 0
+            if (len < 2 || i + 2 + len > b.length) done = true
+            else if (m >= 0xC0 && m <= 0xCF &&
+                m != 0xC4 && m != 0xC8 && m != 0xCC) {
+              if (len >= 7) {
+                val h = u16(i + 5); val w = u16(i + 7)
+                if (w > 0 && h > 0) out = Some((w, h))
+              }
+              done = true
+            } else i += 2 + len
+          }
+        }
+      }
+      out
+    } else None
+  }
+
   /** STUB decoder — replace with a real codec. Deterministic: dimensions
     * and features are pure functions of the payload bytes.
     */
@@ -59,6 +113,12 @@ object MultimodalOps {
     * partition (mapPartitions), rows streamed — the Scala analogue of a
     * Pandas-UDF batch loop; at scale the input should be repartitioned so
     * each task holds O(100 MB) of payloads.
+    *
+    * Dimensions are REAL for real payloads — [[imageDimensions]] parses
+    * PNG/JPEG headers byte-wise; only non-image payloads (this sandbox's
+    * text stand-ins included, keeping the oracle deterministic) fall back
+    * to the stub derivation. Pixel features remain stubbed (no codec in
+    * the container).
     */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -67,7 +127,8 @@ object MultimodalOps {
         // per-partition decoder init would happen here
         it.map { case (id, payload) =>
           val bytes = if (payload == null) Array.empty[Byte] else payload
-          val (w, h, feat) = stubDecode(bytes)
+          val (fw, fh, feat) = stubDecode(bytes)
+          val (w, h) = imageDimensions(bytes).getOrElse((fw, fh))
           MediaFeatures(id, bytes.length, w, h, feat)
         }
       }

@@ -338,12 +338,17 @@ object TextOps {
     * with the model TRAINED BY THE ENGINE — no external LM.
     *
     * Shape: two passes over the corpus by nature (train, then score —
-    * exactly an LM pipeline's epochs). The frequency table is
-    * vocabulary-bounded, so the per-word log-prob join broadcasts at any
-    * corpus size, and the corpus-total join is a broadcast scalar; the
-    * only corpus-keyed shuffle is the per-document aggregate. Probabilities
-    * come from exact integer counts, one division + log per word — the
-    * oracle replays them bit-for-bit up to summation order (round 6).
+    * exactly an LM pipeline's epochs). The corpus-total join is a broadcast
+    * scalar (provably one row); the per-word log-prob join carries NO hard
+    * broadcast hint — a WORD vocabulary grows with the corpus (Heaps' law;
+    * same unbounded-at-100 TB note as [[tfidfTopK]]), so forcing a
+    * broadcast is an OOM at the target scale. AQE upgrades the join to a
+    * broadcast at runtime while the realized vocabulary is small (PlanAudit
+    * pins the upgraded final plan) and keeps the shuffle join otherwise.
+    * The only corpus-keyed shuffle besides that fallback is the
+    * per-document aggregate. Probabilities come from exact integer counts,
+    * one division + log per word — the oracle replays them bit-for-bit up
+    * to summation order (round 6).
     */
   def unigramLogProb(docs: DataFrame): DataFrame = {
     val w = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
@@ -352,7 +357,7 @@ object TextOps {
     val probs = freq.crossJoin(broadcast(tot))
       .select(col("w"),
         log(col("c").cast("double") / col("tot").cast("double")).as("lp"))
-    w.join(broadcast(probs), Seq("w"))
+    w.join(probs, Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         round(avg(col("lp")), 6).as("avg_logprob"))

@@ -97,10 +97,18 @@ final case class ReferentialRule(
     id: String, column: String, dimension: String,
     severity: String = "error", appliesTo: Option[String] = None) extends Rule
 
-/** Uniqueness of a key column (north-star rule over doc_id). */
+/** Uniqueness of a key column (north-star rule over doc_id), or of a
+  * COMPOSITE key when `moreColumns` is non-empty — the reference's dedup
+  * identity is itself composite (severity+code+diagnostics+location,
+  * /root/reference/extraction/IssueSet.py:9-26). The aggregate groups by
+  * the full column set; one violation row per duplicated key tuple.
+  */
 final case class UniqueRule(
     id: String, column: String,
-    severity: String = "error", appliesTo: Option[String] = None) extends Rule
+    severity: String = "error", appliesTo: Option[String] = None,
+    moreColumns: Seq[String] = Nil) extends Rule {
+  def keyColumns: Seq[String] = column +: moreColumns
+}
 
 /** A named rule set — the engine analogue of one StructureDefinition. */
 final case class RuleSet(name: String, rules: Seq[Rule]) {
@@ -253,7 +261,17 @@ object RuleSetLoader {
         ConditionalRule(id, str(v, "whenColumn"), str(v, "whenEquals"),
           parseRule(v \ "rule"), sev, app)
       case "referential" => ReferentialRule(id, str(v, "column"), str(v, "dimension"), sev, app)
-      case "unique" => UniqueRule(id, str(v, "column"), sev, app)
+      case "unique" =>
+        // optional "moreColumns": ["c2", "c3"] → composite-key uniqueness
+        val more = (v \ "moreColumns") match {
+          case JArray(cs) => cs.map {
+            case JString(s) => s
+            case other => throw new IllegalArgumentException(
+              s"unique rule '$id': moreColumns entries must be strings, got: $other")
+          }
+          case _ => Nil
+        }
+        UniqueRule(id, str(v, "column"), sev, app, more)
       case t => throw new IllegalArgumentException(s"unknown rule type: $t")
     }
   }

@@ -24,6 +24,15 @@ object TokenTable {
 
   val Vocab = 50000
 
+  /** The token table's (column, type) contract — the schema the lifecycle
+    * pre-gate ([[graft.engine.SchemaCheck]]) checks before a rule pass
+    * (the injection key is dropped from the public view by
+    * [[fromLineitem]]).
+    */
+  val ExpectedSchema: Seq[(String, String)] = Seq(
+    "doc_id" -> "string", "tokens" -> "array<int>",
+    "n_tok" -> "int", "source" -> "string", "okey" -> "bigint")
+
   /** Allowed values for `source` — the referential dimension (the analogue of
     * the reference's terminology-server value sets,
     * /root/reference/docker-compose.yml:32-46).

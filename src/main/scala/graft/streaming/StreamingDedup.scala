@@ -25,6 +25,65 @@ import graft.operators.TextOps
   */
 object StreamingDedup {
 
+  /** The RocksDB state-store provider bundled with Spark 4. Exact dedup
+    * state grows with the distinct-key count BY DEFINITION; the default
+    * (HDFS-backed) provider keeps every key's state on the executor HEAP,
+    * so at corpus scale the store must be disk-backed — this class spills
+    * to local SST files and keeps the heap footprint bounded.
+    */
+  val RocksDBProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the session's state-store provider set to RocksDB,
+    * restoring the previous setting afterwards (the provider is read
+    * per-query at start, so the scope only needs to cover `start()`).
+    */
+  def withRocksDBState[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, RocksDBProvider)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** One stateful-dedup run's state-store footprint, for the provider A/B
+    * (`Explain --statestore`; numbers recorded in BASELINE.md).
+    */
+  final case class StateMetrics(provider: String, wallSec: Double,
+      survivors: Long, stateRows: Long, memoryUsedBytes: Long)
+
+  /** Run the document-stream exact dedup under either provider and report
+    * wall time + final state size — identical results by construction
+    * (the provider stores the same keys), different storage medium.
+    */
+  def dedupStateMetrics(spark: SparkSession, path: String,
+      useRocksDB: Boolean, maxFilesPerTrigger: Int = 4): StateMetrics = {
+    def body: StateMetrics = {
+      val stream = spark.readStream
+        .schema(docSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(path)
+      val name = s"graft_ss_ab_${System.nanoTime()}"
+      val t0 = System.nanoTime()
+      val q = dedupStream(stream).writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val so = Option(q.lastProgress).map(_.stateOperators)
+        .getOrElse(Array.empty)
+      StateMetrics(
+        if (useRocksDB) "rocksdb" else "hdfs-heap",
+        wall, spark.table(name).count(),
+        so.map(_.numRowsTotal).sum, so.map(_.memoryUsedBytes).sum)
+    }
+    if (useRocksDB) withRocksDBState(spark)(body) else body
+  }
+
   /** Input schema of the document stream (driver `documents` table). */
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

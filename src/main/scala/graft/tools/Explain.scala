@@ -284,8 +284,12 @@ object Explain {
       // report family is genuinely slow, it is slow in EVERY round while
       // the controls stay flat; if r4 was a degraded window, all rounds
       // agree at the fast level. Never conclude from two separate runs.
-      val names = Seq("r_report_sources", "r_report_full",
-        "r_severity_sorted", "v_summary", "v_dedup_issues")
+      // round-6 flagged set: v_token_pmi (both r5 alternating samples
+      // >100s — the one query round alternation did not clear) plus its
+      // sibling v_token_bigrams, against stable controls. The r4 flagged
+      // set (r_report_*) was adjudicated clean in round 5.
+      val names = Seq("v_token_pmi", "v_token_bigrams",
+        "v_token_topk", "v_summary")
       val qs = graft.SparkEntry.queries
       def runQ(n: String): Long = {
         qs(n)(spark, sfDir).write.format("noop").mode("overwrite").save(); 1L
@@ -327,6 +331,23 @@ object Explain {
           .write.format("noop").mode("overwrite").save(); 1L
       })
       graft.sources.Fs.delete(spark, vd)
+    }
+    if (args.contains("--statestore")) {
+      // HDFS-heap vs RocksDB state store for the stateful exact dedup
+      // (VERDICT r5 #8): interleaved A/B/A/B in one JVM — same input, same
+      // survivor set; what differs is where the per-key state lives
+      // (executor heap vs local SST files). The delta recorded in
+      // BASELINE.md is the cost of bounding the heap at corpus scale.
+      val docsPath = graft.sources.DocSource.materializedDocs(spark, sfDir)
+      (1 to 3).foreach { round =>
+        Seq(false, true).foreach { rocks =>
+          val m = graft.streaming.StreamingDedup.dedupStateMetrics(
+            spark, docsPath, useRocksDB = rocks)
+          println(f"[explain] statestore r$round ${m.provider}%-10s " +
+            f"${m.wallSec}%7.2fs survivors=${m.survivors} " +
+            f"stateRows=${m.stateRows} stateMem=${m.memoryUsedBytes}")
+        }
+      }
     }
     spark.stop()
   }

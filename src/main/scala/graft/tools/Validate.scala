@@ -33,7 +33,17 @@ object Validate {
   final case class Args(
       tokens: String, rules: String, dims: Option[String],
       manifest: String, snapshot: Long, report: Option[String],
-      violations: Option[String], prune: Boolean)
+      violations: Option[String], prune: Boolean,
+      /** `--pipeline <quarantineDir>`: run the composed lifecycle
+        * ([[graft.engine.Pipeline]]) — schema gate → routed repair →
+        * resumable validate → quarantine split into the given dir →
+        * artifact report.
+        */
+      pipeline: Option[String],
+      /** `--expect "col:type,col:type"`: (column, type) contract for the
+        * pipeline's schema pre-gate; omitted = gate disabled.
+        */
+      expect: Option[Seq[(String, String)]])
 
   def parseArgs(argv: Array[String]): Args = {
     val m = argv.sliding(2, 2).collect {
@@ -47,7 +57,15 @@ object Validate {
       snapshot = m.getOrElse("snapshot", "0").toLong,
       report = m.get("report"),
       violations = m.get("violations"),
-      prune = m.get("prune").exists(_.toBoolean))
+      prune = m.get("prune").exists(_.toBoolean),
+      pipeline = m.get("pipeline"),
+      expect = m.get("expect").map(_.split(",").toSeq.map { kv =>
+        kv.split(":") match {
+          case Array(c, t) => c.trim -> t.trim
+          case _ => throw new IllegalArgumentException(
+            s"--expect entries must be col:type, got '$kv'")
+        }
+      }))
   }
 
   final case class RunOutcome(
@@ -121,6 +139,18 @@ object Validate {
       result.summary, reportPath, result.failedPartitions, pruned)
   }
 
+  /** The composed lifecycle verb (`--pipeline <quarantineDir>`): delegates
+    * to [[graft.engine.Pipeline.run]] with the parsed routing + dims.
+    */
+  def runPipeline(spark: SparkSession, tokens: DataFrame, rulesJson: String,
+      dimsJson: Option[String], args: Args): graft.engine.Pipeline.Result = {
+    val routing = RuleSetLoader.parse(rulesJson)
+    val dims = dimsJson.map(DimensionLoader.parse(spark, _))
+      .getOrElse(Map.empty)
+    graft.engine.Pipeline.run(spark, tokens, routing, dims, args.expect,
+      args.manifest, args.snapshot, args.pipeline.get, args.report)
+  }
+
   def main(argv: Array[String]): Unit = {
     val args = parseArgs(argv)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
@@ -131,18 +161,34 @@ object Validate {
           java.nio.file.Paths.get(args.rules)))
         val dimsJson = args.dims.map(p => new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
-        val out = run(spark, spark.read.parquet(args.tokens), rulesJson,
-          dimsJson, args.manifest, args.snapshot, args.report,
-          violationsDir = args.violations, pruneSuperseded = args.prune)
-        val rows = out.summary.orderBy("source").collect().map { r =>
-          s"""{"source":"${r.getString(0)}","n_rows":${r.getLong(1)},""" +
-            s""""n_violations":${r.getLong(2)},"pass":${r.getBoolean(3)}}"""
-        }.mkString("[", ",", "]")
-        println(s"""{"validated":${out.validated.size},""" +
-          s""""skipped":${out.skipped.size},"failed":${out.failed.size},""" +
-          s""""pruned":${out.pruned},"summary":$rows""" +
-          out.reportPath.map(p => s""","report":"$p"""").getOrElse("") + "}")
-        out.failed.size
+        if (args.pipeline.isDefined) {
+          val out = runPipeline(spark, spark.read.parquet(args.tokens),
+            rulesJson, dimsJson, args)
+          val rows = out.summary.orderBy("source").collect().map { r =>
+            s"""{"source":"${r.getString(0)}","n_rows":${r.getLong(1)},""" +
+              s""""n_violations":${r.getLong(2)},"pass":${r.getBoolean(3)},""" +
+              s""""n_repaired":${r.getLong(4)},""" +
+              s""""n_quarantined":${r.getLong(5)}}"""
+          }.mkString("[", ",", "]")
+          println(s"""{"validated":${out.validated.size},""" +
+            s""""skipped":${out.skipped.size},"failed":${out.failed.size},""" +
+            s""""summary":$rows""" +
+            out.reportPath.map(p => s""","report":"$p"""").getOrElse("") + "}")
+          out.failed.size
+        } else {
+          val out = run(spark, spark.read.parquet(args.tokens), rulesJson,
+            dimsJson, args.manifest, args.snapshot, args.report,
+            violationsDir = args.violations, pruneSuperseded = args.prune)
+          val rows = out.summary.orderBy("source").collect().map { r =>
+            s"""{"source":"${r.getString(0)}","n_rows":${r.getLong(1)},""" +
+              s""""n_violations":${r.getLong(2)},"pass":${r.getBoolean(3)}}"""
+          }.mkString("[", ",", "]")
+          println(s"""{"validated":${out.validated.size},""" +
+            s""""skipped":${out.skipped.size},"failed":${out.failed.size},""" +
+            s""""pruned":${out.pruned},"summary":$rows""" +
+            out.reportPath.map(p => s""","report":"$p"""").getOrElse("") + "}")
+          out.failed.size
+        }
       } finally spark.stop()
     // a contained-failure run is PARTIAL: exit nonzero so schedulers retry
     if (failed > 0) sys.exit(2)

@@ -25,9 +25,24 @@ class QuarantineSpec extends SparkSpec {
         cleanIds.drop("bucket"), ruleSet, dims)
       .where(col("severity") === "error").count()
     assert(residual === 0L, "clean bucket must re-validate error-free")
-    // directory layout prunes: bucket is a partition column on disk
+    // directory layout prunes: bucket is a partition column on disk,
+    // and (VERDICT r5 #4) source stays a partition level BELOW it, so the
+    // split does not cost readers the input layout's source pruning
     assert(new java.io.File(s"$out/bucket=clean").isDirectory)
     assert(new java.io.File(s"$out/bucket=quarantine").isDirectory)
+    val cleanSrcDirs = new java.io.File(s"$out/bucket=clean")
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(cleanSrcDirs.nonEmpty &&
+      cleanSrcDirs.forall(_.startsWith("source=")), cleanSrcDirs.toString)
+    // a source-filtered read of the clean output prunes at the scan:
+    // the partition filter appears in the plan, no post-scan Filter needed
+    val pruned = spark.read.parquet(out)
+      .where(col("bucket") === "clean" && col("source") === "A")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("source"), scan.take(1200))
+    val aRows = tok.where(col("source") === "A").count()
+    assert(pruned.count() <= aRows && pruned.count() > 0)
   }
 
   test("bucketed split-write: clean side re-validates exchange-free") {

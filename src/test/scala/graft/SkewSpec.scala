@@ -66,4 +66,26 @@ class SkewSpec extends SparkSpec {
     assert(a === b)
     assert(a.exists(v => v._1 == "hot" && v._3 == "doc_id occurs 4000 times"))
   }
+
+  test("composite-key uniqueness: salted == flat on the hot distribution") {
+    // VERDICT r5 #6: the struct-keyed generalization must keep the salted
+    // two-phase form spec-equal, including when `source` is itself a key
+    // column (the aggregate's source output aliases internally)
+    val rows = (1 to 5000).map(i =>
+      graft.model.TokenRow(if (i <= 4000) "hot" else s"d$i",
+        Array(i % 50), 1, if (i % 2 == 0) "A" else "N"))
+    val df = spark.createDataset(rows).toDF().repartition(16)
+    val rule = graft.rules.UniqueRule("unique_doc_src", "doc_id",
+      moreColumns = Seq("source"))
+    val a = Validator.uniqueViolations(df, rule)
+      .as[(String, String, String, String, String)].collect().toSet
+    val b = Validator.uniqueViolationsSalted(df, rule, nSalt = 8)
+      .as[(String, String, String, String, String)].collect().toSet
+    assert(a === b)
+    // the hot key splits into its two composite halves
+    assert(a.exists(v => v._1 == "hot|A" &&
+      v._3 == "(doc_id,source) occurs 2000 times"))
+    assert(a.exists(v => v._1 == "hot|N" &&
+      v._3 == "(doc_id,source) occurs 2000 times"))
+  }
 }

@@ -325,4 +325,27 @@ class ValidatorSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(changed === Set("A", "N"))
   }
+
+  test("a changed NULL-source row flags its slice for re-validation") {
+    // ADVICE r5: the old form dropped null-source diff rows entirely — a
+    // changed row silently escaping validation, the engine's core failure
+    // mode (violationsRouted routes null source to the default set)
+    import graft.engine.SnapshotDiff
+    val cols = Seq("doc_id", "n_tok", "source")
+    val cur = Seq(("d1", 1, "A"), ("d9", 9, null.asInstanceOf[String]))
+      .toDF(cols: _*)
+    val prev = Seq(("d1", 1, "A")).toDF(cols: _*)
+    val changed = SnapshotDiff.changedSources(cur, prev, cols)
+      .as[String].collect().toSeq
+    assert(changed === Seq(SnapshotDiff.NullSourceSentinel))
+    // sliceFilter translates the sentinel back into IS NULL (isin alone
+    // never matches NULL), so the pending set selects exactly the slice
+    val slice = cur.where(SnapshotDiff.sliceFilter(changed))
+      .select("doc_id").as[String].collect().toSeq
+    assert(slice === Seq("d9"))
+    // and named sources still select normally alongside the sentinel
+    val both = cur.where(SnapshotDiff.sliceFilter(
+      Seq("A", SnapshotDiff.NullSourceSentinel)))
+    assert(both.count() === 2L)
+  }
 }
