@@ -1168,6 +1168,53 @@ object Queries {
       .summary.orderBy("source")
   }
 
+  /** Training context-window chunking (new in r6): each validated token
+    * sequence split into 32-token windows at stride 24, pinned per window
+    * by (length, token-sum checksum, endpoints)
+    * ([[graft.operators.ChunkOps.contextWindows]]).
+    */
+  def vChunkWindows(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ChunkOps.contextWindows(tok(spark, dir), 32, 24)
+      .orderBy("doc_id", "win_idx", "win_sum")
+
+  /** Deequ-style expectation suite (new in r6): per-rule violation rate
+    * vs a severity-derived tolerance → PASS/FAIL, zero-violation rules
+    * reported explicitly ([[graft.engine.Expectations]]).
+    */
+  def vExpectSuite(spark: SparkSession, dir: String): DataFrame = {
+    val t = tok(spark, dir)
+    graft.engine.Expectations.suite(spark, detailed(spark, dir), t.count(),
+        graft.engine.Expectations.defaultSuite(ruleSet))
+      .orderBy("rule_id")
+  }
+
+  /** Cross-run metrics trend (new in r6): two validation runs (baseline
+    * snapshot, then full table) append to the metrics table; the trend
+    * reports per-rule deltas and rate regressions for the latest run
+    * ([[graft.engine.MetricsStore]]).
+    */
+  def vRunHistory(spark: SparkSession, dir: String): DataFrame = {
+    val mdir = sys.env.getOrElse("GRAFT_TOK_CACHE", "/tmp/graft_tok_cache") +
+      s"/${spark.sparkContext.applicationId}" +
+      s"/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_metrics"
+    graft.sources.Fs.delete(spark, mdir)
+    val base = TokenTable.tokensBaseline(spark, dir)
+    graft.engine.MetricsStore.append(spark, mdir, 1L, 1L, ruleSet,
+      Validator.violations(base, ruleSet, dims(spark)), base.count())
+    graft.engine.MetricsStore.append(spark, mdir, 2L, 2L, ruleSet,
+      detailed(spark, dir), tok(spark, dir).count())
+    graft.engine.MetricsStore.trend(spark, mdir)
+      .where(col("run_id") === 2).orderBy("rule_id")
+  }
+
+  /** HLL cardinality-bound anchor (new in r6): exact distinct doc_id count
+    * beside the verdict that Spark's HLL++ estimate landed within 5% — the
+    * trust anchor for running approx-only at corpus scale
+    * ([[graft.engine.StatsOps.approxDistinctCheck]]).
+    */
+  def vApproxUnique(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.StatsOps.approxDistinctCheck(tok(spark, dir), "doc_id")
+
   /** Weekly retention cohorts over the events table (new in r5):
     * first-active-week cohort × week offset → distinct active users
     * ([[graft.operators.EventOps.retentionCohorts]]).
@@ -1191,6 +1238,47 @@ object Queries {
     */
   def dZipfSlope(spark: SparkSession, dir: String): DataFrame =
     TextOps.zipfSlope(docs(spark, dir)).orderBy("source")
+
+  /** CCNet-style LM quality buckets (new in r6): documents binned by
+    * fixed unigram-LM log-prob cutoffs, per-bucket population stats
+    * ([[TextOps.lmQualityBuckets]]).
+    */
+  def dLmBuckets(spark: SparkSession, dir: String): DataFrame =
+    TextOps.lmQualityBuckets(docs(spark, dir)).orderBy("bucket")
+
+  /** Temperature-scaled domain mixing weights (new in r6): per-source
+    * token share flattened at alpha = 0.5
+    * ([[graft.operators.SampleOps.mixingWeights]]).
+    */
+  def dMixWeights(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SampleOps.mixingWeights(docs(spark, dir), 0.5)
+      .orderBy("source")
+
+  /** PII scrub (new in r6): the corpus text is augmented with
+    * deterministic synthetic PII (email + IPv4 always, phone on every
+    * third doc — both engines build the identical string), then counted
+    * and redacted per source ([[TextOps.piiCounts]]).
+    */
+  def dPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val aug = docs(spark, dir).withColumn("text", concat(
+      col("text"), lit(" reach "), id, lit("@mail"),
+      pmod(col("doc_id"), lit(7)).cast("string"), lit(".com via 10."),
+      pmod(col("doc_id"), lit(200)).cast("string"), lit("."),
+      pmod(col("n_chars"), lit(250)).cast("string"), lit("."),
+      pmod(col("doc_id") * 31, lit(254)).cast("string"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" call +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit(""))))
+    TextOps.piiCounts(aug)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_emails").as("n_emails"), sum("n_ips").as("n_ips"),
+        sum("n_phones").as("n_phones"),
+        sum("chars_delta").as("chars_redacted"))
+      .orderBy("source")
+  }
 
   /** Int8 quantization error report (new in r5): per-label mean/max
     * reconstruction MSE of per-dimension affine int8 quantization — the
@@ -1429,6 +1517,13 @@ object Queries {
     "v_token_pmi" -> (vTokenPmi _),
     "v_docs_validate" -> (vDocsValidate _),
     "v_repair" -> (vRepair _),
+    "v_chunk_windows" -> (vChunkWindows _),
+    "v_expect_suite" -> (vExpectSuite _),
+    "v_run_history" -> (vRunHistory _),
+    "v_approx_unique" -> (vApproxUnique _),
+    "d_lm_buckets" -> (dLmBuckets _),
+    "d_mix_weights" -> (dMixWeights _),
+    "d_pii_scrub" -> (dPiiScrub _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -3185,5 +3280,179 @@ object Queries {
         |       CAST(max(gap_us) AS BIGINT) AS max_gap_us
         |FROM s WHERE gap_us IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // context windows at (32, stride 24): window set = starts 0,24,48,…
+    // while start < n; token values replayed from the congruence generator
+    // per position. NO grouping: the synthetic lineitem holds genuine
+    // duplicate (orderkey, linenumber) rows, so there is no unique row key
+    // to group on — each window's stats come from a per-row list instead,
+    // preserving row multiplicity exactly as Spark's per-row derivation does
+    "v_chunk_windows" ->
+      s"""WITH $cte,
+         |w AS (SELECT doc_id, source, key, n_true,
+         |             unnest(generate_series(0, (n_true-1) // 24)) AS win_idx
+         |      FROM tok WHERE NOT tokens_null),
+         |t AS (SELECT doc_id, source, win_idx,
+         |             list_transform(
+         |               range(win_idx*24, least(win_idx*24 + 32,
+         |                 CAST(n_true AS BIGINT))),
+         |               p -> CASE WHEN p = 0 AND key % 109 = 0
+         |                         THEN 50000 + key % 7
+         |                         ELSE (key*31 + p*17) % 50000 END) AS toks
+         |      FROM w)
+         |SELECT doc_id, source, CAST(win_idx AS INT) AS win_idx,
+         |       CAST(len(toks) AS INT) AS win_len,
+         |       CAST(list_sum(toks) AS BIGINT) AS win_sum,
+         |       CAST(toks[1] AS INT) AS f_tok,
+         |       CAST(toks[-1] AS INT) AS l_tok
+         |FROM t ORDER BY doc_id, win_idx""".stripMargin,
+
+    // expectation suite: severity-derived tolerances (fatal 0.01,
+    // error 0.005, warning 0.1) against per-rule violation rates;
+    // zero-violation rules (not_null_source, n_tok_range) report PASS rows
+    "v_expect_suite" ->
+      s"""WITH $violationsCte,
+         |nr AS (SELECT count(*) AS n FROM tok),
+         |exp(rule_id, max_rate) AS (VALUES
+         |  ('not_null_tokens', 0.01), ('not_null_source', 0.01),
+         |  ('len_consistency', 0.005), ('token_bounds', 0.1),
+         |  ('n_tok_range', 0.1), ('ref_source', 0.005),
+         |  ('unique_doc_id', 0.1)),
+         |c AS (SELECT rule_id, count(*) AS nv FROM v GROUP BY rule_id)
+         |SELECT e.rule_id,
+         |       CAST(coalesce(c.nv, 0) AS BIGINT) AS n_violations,
+         |       CAST(nr.n AS BIGINT) AS n_rows,
+         |       round(CAST(coalesce(c.nv, 0) AS DOUBLE) /
+         |             CAST(nr.n AS DOUBLE), 6) AS violation_rate,
+         |       CAST(e.max_rate AS DOUBLE) AS max_rate,
+         |       CASE WHEN CAST(coalesce(c.nv, 0) AS DOUBLE) /
+         |                 CAST(nr.n AS DOUBLE) <= CAST(e.max_rate AS DOUBLE)
+         |            THEN 'PASS' ELSE 'FAIL' END AS status
+         |FROM exp e LEFT JOIN c USING (rule_id) CROSS JOIN nr
+         |ORDER BY e.rule_id""".stripMargin,
+
+    // metrics-table trend for run 2 (full) over run 1 (even-okey
+    // baseline): per-rule counts of both runs zero-filled from the rule
+    // list; regressed = violation RATE strictly worsened
+    "v_run_history" ->
+      s"""WITH $cte,
+         |tokb AS (SELECT * FROM tok WHERE okey % 2 = 0),
+         |${violationsOver("tok", "vc")},
+         |${violationsOver("tokb", "vb")},
+         |rules(rule_id) AS (VALUES
+         |  ('not_null_tokens'), ('not_null_source'), ('len_consistency'),
+         |  ('token_bounds'), ('n_tok_range'), ('ref_source'),
+         |  ('unique_doc_id')),
+         |c2 AS (SELECT rule_id, count(*) AS nv FROM vc GROUP BY rule_id),
+         |c1 AS (SELECT rule_id, count(*) AS nv FROM vb GROUP BY rule_id),
+         |n2 AS (SELECT count(*) AS n FROM tok),
+         |n1 AS (SELECT count(*) AS n FROM tokb)
+         |SELECT CAST(2 AS BIGINT) AS run_id, r.rule_id,
+         |       CAST(coalesce(c2.nv, 0) AS BIGINT) AS n_violations,
+         |       CAST(coalesce(c1.nv, 0) AS BIGINT) AS prev_violations,
+         |       CAST(coalesce(c2.nv, 0) - coalesce(c1.nv, 0) AS BIGINT)
+         |         AS delta,
+         |       CAST(coalesce(c2.nv, 0) AS DOUBLE) / CAST(n2.n AS DOUBLE) >
+         |       CAST(coalesce(c1.nv, 0) AS DOUBLE) / CAST(n1.n AS DOUBLE)
+         |         AS regressed
+         |FROM rules r LEFT JOIN c2 USING (rule_id) LEFT JOIN c1 USING (rule_id)
+         |CROSS JOIN n2 CROSS JOIN n1
+         |ORDER BY r.rule_id""".stripMargin,
+
+    // the HLL estimate itself is engine-specific; the pinned contract is
+    // the exact cardinality and that the estimate verdict is in-bound
+    "v_approx_unique" ->
+      s"""WITH $cte
+         |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact,
+         |       true AS within_bound
+         |FROM tok""".stripMargin,
+
+    // LM buckets on the ROUNDED avg_logprob (the value d_lm_score already
+    // hash-matches), fixed cutoffs -3.55 / -3.41 / -3.40
+    "d_lm_buckets" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split(text, ' '),
+        |           x -> x <> '')) AS w
+        |  FROM documents),
+        |f AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+        |t AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM f),
+        |s AS (SELECT doc_id, ln(CAST(c AS DOUBLE) / tot) AS lp
+        |      FROM w JOIN f USING (w) CROSS JOIN t),
+        |d AS (SELECT doc_id, count(*) AS n_words,
+        |             round(avg(lp), 6) AS alp
+        |      FROM s GROUP BY doc_id),
+        |b AS (SELECT CASE WHEN alp < -3.55 THEN 'tail'
+        |                  WHEN alp < -3.41 THEN 'low'
+        |                  WHEN alp < -3.40 THEN 'mid'
+        |                  ELSE 'head' END AS bucket,
+        |             alp, n_words
+        |      FROM d)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |       round(min(alp), 6) AS min_lp,
+        |       round(max(alp), 6) AS max_lp,
+        |       round(avg(CAST(n_words AS DOUBLE)), 6) AS avg_words
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // temperature-scaled mixing weights at alpha 0.5 over per-source
+    // word totals
+    "d_mix_weights" ->
+      """WITH w AS (
+        |  SELECT source,
+        |         len(list_filter(string_split(text, ' '),
+        |           x -> x <> '')) AS n_words
+        |  FROM documents),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(n_words) AS BIGINT) AS n_words
+        |      FROM w GROUP BY source),
+        |t AS (SELECT source, n_docs, n_words,
+        |             CAST(n_words AS DOUBLE) /
+        |               sum(CAST(n_words AS DOUBLE)) OVER () AS share
+        |      FROM s)
+        |SELECT source, n_docs, n_words, round(share, 6) AS share,
+        |       round(pow(share, 0.5) /
+        |             sum(pow(share, 0.5)) OVER (), 6) AS weight
+        |FROM t ORDER BY source""".stripMargin,
+
+    // PII scrub over deterministically augmented text (same concat both
+    // engines); DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all semantics
+    "d_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id, source,
+        |         text || ' reach ' || CAST(doc_id AS VARCHAR) || '@mail' ||
+        |         CAST(doc_id % 7 AS VARCHAR) || '.com via 10.' ||
+        |         CAST(doc_id % 200 AS VARCHAR) || '.' ||
+        |         CAST(n_chars % 250 AS VARCHAR) || '.' ||
+        |         CAST((doc_id*31) % 254 AS VARCHAR) ||
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN ' call +1-555-' ||
+        |                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |              ELSE '' END AS t2
+        |  FROM documents),
+        |p AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(t2,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |      AS n_emails,
+        |    CAST(len(regexp_extract_all(t2,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |    CAST(len(regexp_extract_all(t2,
+        |      '\+\d{1,2}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |    CAST(length(t2) - length(
+        |      regexp_replace(regexp_replace(regexp_replace(t2,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |        '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g')) AS BIGINT)
+        |      AS chars_delta
+        |  FROM aug)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_emails) AS BIGINT) AS n_emails,
+        |       CAST(sum(n_ips) AS BIGINT) AS n_ips,
+        |       CAST(sum(n_phones) AS BIGINT) AS n_phones,
+        |       CAST(sum(chars_delta) AS BIGINT) AS chars_redacted
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
   )
 }

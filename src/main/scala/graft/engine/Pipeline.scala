@@ -42,7 +42,12 @@ object Pipeline {
       summary: DataFrame,
       /** Sources validated this run vs resumed from the manifest. */
       validated: Seq[String], skipped: Seq[String], failed: Seq[String],
-      reportPath: Option[String])
+      reportPath: Option[String],
+      /** Expectation-suite verdicts (rule_id, n_violations, n_rows,
+        * violation_rate, max_rate, status) when `expectations` was
+        * supplied — evaluated from the STORED violations, no extra pass.
+        */
+      suite: Option[DataFrame] = None)
 
   /** One composed lifecycle run. `expectedSchema` gates on (column, type)
     * before anything executes (None = gate disabled, for callers without
@@ -55,7 +60,10 @@ object Pipeline {
       manifestPath: String, snapshotId: Long,
       quarantineDir: String,
       reportDir: Option[String] = None,
-      metadataRules: Seq[String] = Nil): Result = {
+      metadataRules: Seq[String] = Nil,
+      metricsDir: Option[String] = None,
+      runId: Long = 1L,
+      expectations: Seq[Expectation] = Nil): Result = {
     // 1. schema pre-gate: catalog/footer metadata only — a mis-evolved
     // table fails here before a single executor task is scheduled
     expectedSchema.foreach(SchemaCheck.require(tokens, _))
@@ -101,13 +109,30 @@ object Pipeline {
       .select(explode(col("_repairs")).as("rule_id"))
       .groupBy("rule_id").agg(count(lit(1)).as("n_repaired"))
 
+    // 7. metrics append + expectation suite: both read the STORED
+    // violations and the summary's row counts — zero additional corpus
+    // scans. The metrics row set is anchored on the routing's full rule
+    // union so a silent rule (0 violations) still writes a row.
+    val allRuleIds = routing.ruleSets.values.flatMap(_.rules.map(_.id))
+      .toSeq.distinct.sorted
+    lazy val nRows = result.summary.agg(sum(col("n_rows")))
+      .collect().head.getLong(0)
+    metricsDir.foreach { dir =>
+      MetricsStore.appendIds(spark, dir, runId, snapshotId, allRuleIds,
+        stored, nRows)
+    }
+    val suite =
+      if (expectations.isEmpty) None
+      else Some(localCopy(spark,
+        Expectations.suite(spark, stored, nRows, expectations)))
+
     // summary and audit are CONFIG-cardinality (per-source / per-rule):
     // pin them driver-side at return, so they stay valid after a LATER
     // run overwrites the quarantine dir their lazy plans read (`table`
     // stays a live view of the dir by contract)
     Result(written, localCopy(spark, audit), localCopy(spark, summary),
       result.validatedPartitions, result.skippedPartitions,
-      result.failedPartitions, reportPath)
+      result.failedPartitions, reportPath, suite)
   }
 
   private def localCopy(spark: SparkSession, df: DataFrame): DataFrame = {

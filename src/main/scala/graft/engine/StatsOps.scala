@@ -162,4 +162,24 @@ object StatsOps {
     }
     tokens.groupBy("source").agg(aggs.head, aggs.tail: _*)
   }
+
+  /** HyperLogLog distinct-count check: the exact distinct (one full
+    * shuffle — the 10^12-row cost this exists to retire) beside Spark's
+    * HLL++ estimate (one mergeable pass, no shuffle of raw keys), and a
+    * flag that the estimate landed within `tol`. The production
+    * cardinality monitor at corpus scale runs the approx leg ONLY; this
+    * anchor query is how the cheap path earns that trust — same pattern as
+    * the KLL drift sketch and its exact anchor. The approx value itself is
+    * engine-specific (HLL++ with Spark's register layout), so the PINNED
+    * output is the exact count + the bound verdict, not the estimate.
+    */
+  def approxDistinctCheck(df: DataFrame, keyCol: String,
+      rsd: Double = 0.02, tol: Double = 0.05): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col(keyCol)).as("n_exact"),
+      approx_count_distinct(col(keyCol), rsd).as("n_approx"))
+      .select(col("n_rows"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast("double") /
+          col("n_exact").cast("double") <= tol).as("within_bound"))
 }

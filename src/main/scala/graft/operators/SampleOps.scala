@@ -69,4 +69,34 @@ object SampleOps {
       }
     df.where(hashBucket(col(idCol), 100) < threshold)
   }
+
+  /** Temperature-scaled domain mixing weights — the upstream computation
+    * that PRODUCES the per-stratum percentages [[stratifiedSample]]
+    * consumes: per-source token share p_s, flattened to
+    * w_s = p_s^alpha / Σ p_s^alpha (alpha < 1 up-weights rare domains, the
+    * multilingual-sampling rule from the XLM/mT5 line of work; alpha = 1
+    * is proportional, alpha = 0 uniform).
+    *
+    * Scale shape: one corpus aggregate to per-source totals, then window
+    * normalization over the SOURCE-cardinality frame (a handful of rows —
+    * the empty-partition window is free at that size; the corpus itself is
+    * never windowed). Output rounds to 6 for cross-engine compare.
+    */
+  def mixingWeights(docs: DataFrame, alpha: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val perSource = docs
+      .select(col("source"),
+        size(graft.operators.TextOps.words(col("text"))).as("n_words"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"))
+    val share = col("n_words").cast("double") /
+      sum(col("n_words")).over(all)
+    perSource
+      .withColumn("share", share)
+      .withColumn("w_raw", pow(col("share"), lit(alpha)))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        round(col("share"), 6).as("share"),
+        round(col("w_raw") / sum(col("w_raw")).over(all), 6).as("weight"))
+  }
 }

@@ -435,4 +435,83 @@ object TextOps {
       .otherwise(array(array_min(hs)))
     array_sort(array_distinct(windows))
   }
+
+  // ---------------------------------------------------------------- PII
+
+  /** PII patterns, restricted to regex constructs with identical semantics
+    * in `java.util.regex` (Spark's engine) and RE2 (DuckDB's): character
+    * classes, bounded repetition, `\b`, `\d` (ASCII in both) — no
+    * backreferences, no lookaround, so leftmost-greedy matching agrees
+    * byte-for-byte across engines.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+
+  /** Redact PII in-place, email → IP → phone (a fixed order, since each
+    * replacement changes the text the next pattern scans).
+    */
+  def piiRedact(t: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-document PII counts + redaction size delta over a caller-supplied
+    * text column (pipelines scrub the RAW text; the engine's fixture
+    * augments the synthetic text with deterministic PII so the scrub has
+    * real matches to find).
+    *
+    * Scale shape: pure per-row regex projection — one scan, no shuffle;
+    * the three `regexp_count`s and the redact chain all ride the same
+    * whole-stage-codegen pass. `chars_delta` is (original − redacted)
+    * length, negative when the tag outgrows the match — kept signed so the
+    * oracle replays it exactly.
+    */
+  def piiCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"), col("source"),
+      regexp_count(t, lit(EmailRe)).cast("bigint").as("n_emails"),
+      regexp_count(t, lit(Ipv4Re)).cast("bigint").as("n_ips"),
+      regexp_count(t, lit(PhoneRe)).cast("bigint").as("n_phones"),
+      (length(t) - length(piiRedact(t))).cast("bigint").as("chars_delta"))
+  }
+
+  // ------------------------------------------------ LM quality buckets
+
+  /** CCNet-style perplexity bucketing: assign each document a quality
+    * bucket from its unigram-LM average log-probability (head / mid / low /
+    * tail by FIXED cutoffs — rank-free, so the assignment is stable under
+    * corpus growth and needs no global sort), and aggregate per-bucket
+    * population stats. Pipelines keep `head`+`mid`, re-sample `low`, drop
+    * `tail`.
+    *
+    * Bucketing keys on the ROUNDED score (round 6) that
+    * [[unigramLogProb]] already emits — the value the oracle reproduces
+    * hash-identically — so a cross-engine double wobble below 1e-6 can
+    * never flip a document across a cutoff that the rounded value doesn't
+    * also cross.
+    *
+    * Scale shape: [[unigramLogProb]]'s one explode + vocab aggregate +
+    * frequency join, then a per-row CASE and a 4-group aggregate — nothing
+    * new shuffles at corpus scale.
+    */
+  def lmQualityBuckets(docs: DataFrame, cutoffs: (Double, Double, Double) =
+      (-3.55, -3.41, -3.40)): DataFrame = {
+    val (tail, low, mid) = cutoffs
+    val lp = col("avg_logprob")
+    val bucket = when(lp < tail, "tail")
+      .when(lp < low, "low")
+      .when(lp < mid, "mid")
+      .otherwise("head")
+    unigramLogProb(docs)
+      .select(col("doc_id"), col("n_words"), lp, bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(lp), 6).as("min_lp"),
+        round(max(lp), 6).as("max_lp"),
+        round(avg(col("n_words")), 6).as("avg_words"))
+  }
 }

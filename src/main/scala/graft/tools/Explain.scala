@@ -277,6 +277,34 @@ object Explain {
         lmPlan.contains("BroadcastHashJoin") +
         " vb_pmi_broadcast=" + pmiPlan.contains("BroadcastHashJoin"))
     }
+    if (args.contains("--r6")) {
+      // 2c→8c profile of the round-6 family at ×SCALE: context-window
+      // chunking over the scaled token table (the output-exploding op —
+      // per-row projection, must scale linearly with no flat component)
+      // and the PII scrub over a replicated documents table (regex-bound,
+      // same contract). Mixing weights / expectation suite / metrics are
+      // config-cardinality aggregates — nothing to profile.
+      import graft.operators.ChunkOps
+      import graft.operators.TextOps
+      val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "16").toInt
+      val stok = TokenTable.tokensScaled(spark, sfDir, scale)
+      ChunkOps.contextWindows(stok, 32, 24).count() // warm
+      timed("r6_chunk")(ChunkOps.contextWindows(stok, 32, 24).count())
+      timed("r6_chunk2")(ChunkOps.contextWindows(stok, 32, 24).count())
+      val sdocs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .crossJoin(spark.range(scale).toDF("r"))
+        .withColumn("doc_id", col("doc_id") + col("r") * 10000000L)
+        .drop("r")
+      val pii = TextOps.piiCounts(sdocs.withColumn("text", concat(
+        col("text"), lit(" reach "), col("doc_id").cast("string"),
+        lit("@mail3.com via 10.1."), pmod(col("n_chars"), lit(250))
+          .cast("string"), lit(".7"))))
+      pii.agg(sum("n_emails")).collect() // warm
+      timed("r6_pii")(pii.agg(sum("n_emails"), sum("n_ips"))
+        .collect().head.getLong(0))
+      timed("r6_pii2")(pii.agg(sum("n_emails"), sum("n_ips"))
+        .collect().head.getLong(0))
+    }
     if (args.contains("--registry")) {
       // interleaved same-JVM A/B of the registry queries the r4 bench
       // artifact flagged (r_report_* 4-20× slower) against stable v_*

@@ -43,7 +43,19 @@ object Validate {
       /** `--expect "col:type,col:type"`: (column, type) contract for the
         * pipeline's schema pre-gate; omitted = gate disabled.
         */
-      expect: Option[Seq[(String, String)]])
+      expect: Option[Seq[(String, String)]],
+      /** `--metrics <dir>`: append this run's per-rule violation counts to
+        * the cross-run metrics table ([[graft.engine.MetricsStore]]).
+        */
+      metrics: Option[String] = None,
+      /** `--runid N`: the metrics table's run key (defaults to the
+        * snapshot id — distinct re-runs at one snapshot should pass it).
+        */
+      runId: Option[Long] = None,
+      /** `--sla true`: evaluate the severity-derived expectation suite
+        * over the run's stored violations and include it in the output.
+        */
+      sla: Boolean = false)
 
   def parseArgs(argv: Array[String]): Args = {
     val m = argv.sliding(2, 2).collect {
@@ -65,7 +77,10 @@ object Validate {
           case _ => throw new IllegalArgumentException(
             s"--expect entries must be col:type, got '$kv'")
         }
-      }))
+      }),
+      metrics = m.get("metrics"),
+      runId = m.get("runid").map(_.toLong),
+      sla = m.get("sla").exists(_.toBoolean))
   }
 
   final case class RunOutcome(
@@ -148,7 +163,12 @@ object Validate {
     val dims = dimsJson.map(DimensionLoader.parse(spark, _))
       .getOrElse(Map.empty)
     graft.engine.Pipeline.run(spark, tokens, routing, dims, args.expect,
-      args.manifest, args.snapshot, args.pipeline.get, args.report)
+      args.manifest, args.snapshot, args.pipeline.get, args.report,
+      metricsDir = args.metrics,
+      runId = args.runId.getOrElse(args.snapshot),
+      expectations =
+        if (args.sla) graft.engine.Expectations.defaultSuite(routing)
+        else Nil)
   }
 
   def main(argv: Array[String]): Unit = {
@@ -170,9 +190,18 @@ object Validate {
               s""""n_repaired":${r.getLong(4)},""" +
               s""""n_quarantined":${r.getLong(5)}}"""
           }.mkString("[", ",", "]")
+          val slaRows = out.suite.map { s =>
+            s.orderBy("rule_id").collect().map { r =>
+              s"""{"rule_id":"${r.getString(0)}",""" +
+                s""""n_violations":${r.getLong(1)},""" +
+                s""""violation_rate":${r.getDouble(3)},""" +
+                s""""max_rate":${r.getDouble(4)},""" +
+                s""""status":"${r.getString(5)}"}"""
+            }.mkString(""","sla":[""", ",", "]")
+          }.getOrElse("")
           println(s"""{"validated":${out.validated.size},""" +
             s""""skipped":${out.skipped.size},"failed":${out.failed.size},""" +
-            s""""summary":$rows""" +
+            s""""summary":$rows""" + slaRows +
             out.reportPath.map(p => s""","report":"$p"""").getOrElse("") + "}")
           out.failed.size
         } else {

@@ -140,4 +140,38 @@ class PipelineSpec extends SparkSpec {
     assert(res2.skippedPartitions.toSet ===
       Set("A", SnapshotDiff.NullSourceSentinel))
   }
+
+  test("pipeline appends run metrics and evaluates the SLA suite") {
+    import graft.engine.{Expectations, MetricsStore}
+    val routing = RuleSetLoader.parse(routingJson)
+    val tok = TokenTable.tokens(spark, sf0001)
+    val base = tmp("graft_pipe_sla")
+    val res = Pipeline.run(spark, tok, routing, dims,
+      Some(TokenTable.ExpectedSchema), s"$base/manifest", 1L,
+      s"$base/q", metricsDir = Some(s"$base/metrics"), runId = 1L,
+      expectations = Expectations.defaultSuite(routing))
+
+    // metrics: one zero-filled row per rule in the routed UNION
+    val allIds = routing.ruleSets.values.flatMap(_.rules.map(_.id))
+      .toSeq.distinct.sorted
+    val hist = MetricsStore.history(spark, s"$base/metrics")
+    assert(hist.select("rule_id").collect().map(_.getString(0)).sorted
+      .toSeq === allIds)
+    assert(hist.select("run_id").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+    // metrics counts equal the stored per-rule violation counts; the
+    // post-repair corpus has zero len_consistency violations (repaired)
+    val byRule = hist.collect()
+      .map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(byRule("len_consistency") === 0L)
+    assert(byRule("ref_source") > 0L)
+
+    // suite: every routed rule verdicts once; repair makes
+    // len_consistency PASS, the injected bogus sources breach ref_source
+    val suite = res.suite.get.collect()
+      .map(r => r.getString(0) -> r.getString(5)).toMap
+    assert(suite.keySet === allIds.toSet)
+    assert(suite("len_consistency") === "PASS")
+    assert(suite("ref_source") === "FAIL")
+  }
 }

@@ -70,4 +70,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(planStr.linesIterator.exists(l =>
       l.contains("*(") && l.contains("Project")), planStr.take(1500))
   }
+
+  test("round-6 per-row operators: single scan, chunking shuffle-free") {
+    // context windows: explode + slice is a pure per-row projection — at
+    // 100 TB the chunking pass must stay one scan-dominated map stage
+    // (ORDER BY in the registry query is presentation; audit the operator)
+    val cw = graft.operators.ChunkOps.contextWindows(
+      graft.sources.TokenTable.tokens(spark, sf001), 32, 24)
+    val cwPlan = cw.queryExecution.executedPlan.toString
+    assert(scans(cw) === 1)
+    assert(!cwPlan.contains("Exchange"), cwPlan.take(1200))
+    // PII scrub: regex projections ride one scan
+    assert(scans(Queries.dPiiScrub(spark, sf001)) === 1)
+  }
 }
