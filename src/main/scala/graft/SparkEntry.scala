@@ -1215,6 +1215,14 @@ object Queries {
   def vApproxUnique(spark: SparkSession, dir: String): DataFrame =
     graft.engine.StatsOps.approxDistinctCheck(tok(spark, dir), "doc_id")
 
+  /** Per-source token-budget cap (new in r6): keep each source's docs in
+    * deterministic md5 order until 100k tokens, report kept/dropped
+    * ([[graft.operators.SampleOps.tokenBudgetSummary]]).
+    */
+  def vTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SampleOps.tokenBudgetSummary(tok(spark, dir), 100000L)
+      .orderBy("source")
+
   /** Weekly retention cohorts over the events table (new in r5):
     * first-active-week cohort × week offset → distinct active users
     * ([[graft.operators.EventOps.retentionCohorts]]).
@@ -1524,6 +1532,7 @@ object Queries {
     "d_lm_buckets" -> (dLmBuckets _),
     "d_mix_weights" -> (dMixWeights _),
     "d_pii_scrub" -> (dPiiScrub _),
+    "v_token_budget" -> (vTokenBudget _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -3454,5 +3463,23 @@ object Queries {
         |       CAST(sum(n_phones) AS BIGINT) AS n_phones,
         |       CAST(sum(chars_delta) AS BIGINT) AS chars_redacted
         |FROM p GROUP BY source ORDER BY source""".stripMargin,
+
+    // token-budget cap at 100k/source: md5(doc_id) order, default RANGE
+    // frame on both engines (id-tied rows share one cumulative value and
+    // are kept or dropped together)
+    "v_token_budget" ->
+      s"""WITH $cte,
+         |c AS (SELECT source, doc_id, n_tok,
+         |             sum(n_tok) OVER (PARTITION BY source
+         |               ORDER BY md5(doc_id), doc_id) AS cum
+         |      FROM tok)
+         |SELECT source,
+         |       CAST(sum(CASE WHEN cum <= 100000 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN cum <= 100000 THEN n_tok ELSE 0 END)
+         |         AS BIGINT) AS tok_kept,
+         |       CAST(sum(CASE WHEN cum > 100000 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_dropped
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -99,4 +99,43 @@ object SampleOps {
         round(col("share"), 6).as("share"),
         round(col("w_raw") / sum(col("w_raw")).over(all), 6).as("weight"))
   }
+
+  /** Per-source TOKEN BUDGET enforcement: keep each source's documents in
+    * deterministic md5(doc_id) order until the source's cumulative token
+    * count reaches `budget`, drop the rest — the hard cap a mixing recipe
+    * applies after [[mixingWeights]] decides proportions. The order is a
+    * pure function of the id (same selection across reruns, layouts,
+    * engines); the running sum uses the default RANGE frame, so id-tied
+    * rows (collapsed duplicates) share one cumulative value and are kept
+    * or dropped TOGETHER — no tie-order nondeterminism can leak into the
+    * kept set.
+    *
+    * Scale shape: one shuffle (repartition by source) + one running
+    * window per source partition — the same single-pass shape as flat
+    * sequence packing, with the same monolithic-source skew hazard (a
+    * source holding most of the corpus serializes its window; the
+    * two-level [[PackOps]] bucketing is the mitigation when budgets are
+    * bucket-decomposable).
+    */
+  def tokenBudgetFlag(tok: DataFrame, budget: Long,
+      tokCol: String = "n_tok"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    tok.withColumn("_cum_tok", sum(col(tokCol)).over(w))
+      .withColumn("kept", col("_cum_tok") <= budget)
+      .drop("_cum_tok")
+  }
+
+  /** Per-source budget summary: kept/dropped doc counts and the kept
+    * token total (≤ budget by construction).
+    */
+  def tokenBudgetSummary(tok: DataFrame, budget: Long): DataFrame =
+    tokenBudgetFlag(tok, budget)
+      .groupBy("source")
+      .agg(
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tok").cast("long")).otherwise(0L))
+          .as("tok_kept"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"))
 }

@@ -295,10 +295,17 @@ object Explain {
         .crossJoin(spark.range(scale).toDF("r"))
         .withColumn("doc_id", col("doc_id") + col("r") * 10000000L)
         .drop("r")
-      val pii = TextOps.piiCounts(sdocs.withColumn("text", concat(
-        col("text"), lit(" reach "), col("doc_id").cast("string"),
-        lit("@mail3.com via 10.1."), pmod(col("n_chars"), lit(250))
-          .cast("string"), lit(".7"))))
+      // repartition: the replicated frame inherits the tiny fixture
+      // file's ONE input split, and piiCounts is shuffle-free — without
+      // an explicit re-split the whole regex pass runs in a single task
+      // at any core count (measured flat 1.76→1.45 s). A real corpus
+      // arrives in thousands of splits; model that, don't measure the
+      // fixture's file layout.
+      val pii = TextOps.piiCounts(sdocs.repartition(cpus * 4)
+        .withColumn("text", concat(
+          col("text"), lit(" reach "), col("doc_id").cast("string"),
+          lit("@mail3.com via 10.1."), pmod(col("n_chars"), lit(250))
+            .cast("string"), lit(".7"))))
       pii.agg(sum("n_emails")).collect() // warm
       timed("r6_pii")(pii.agg(sum("n_emails"), sum("n_ips"))
         .collect().head.getLong(0))

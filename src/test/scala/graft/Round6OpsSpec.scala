@@ -135,6 +135,40 @@ class Round6OpsSpec extends SparkSpec {
     graft.sources.Fs.delete(spark, dir)
   }
 
+  test("token budget cap: deterministic kept set, ties kept together") {
+    val df = Seq(
+      ("x", 10, "A"), ("x", 10, "A"),       // id-tied pair: one cum value
+      ("y", 10, "A"), ("z", 10, "A"),
+      ("q", 5, "N")
+    ).toDF("doc_id", "tokens_ignored", "source")
+      .withColumnRenamed("tokens_ignored", "n_tok")
+    // budget 25: the tied pair shares cum and is kept/dropped together —
+    // whichever ids hash first, kept token totals never split a tie
+    val got = SampleOps.tokenBudgetFlag(df, 25L)
+      .groupBy("source", "doc_id", "kept").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+        r.getLong(3)))
+    val xRows = got.filter(r => r._2 == "x")
+    assert(xRows.length === 1 && xRows.head._4 === 2,
+      s"tied ids split across kept states: ${got.toSeq}")
+    // layout-invariance: same kept multiset at any partitioning
+    val a = SampleOps.tokenBudgetFlag(df.repartition(7), 25L)
+      .where(col("kept")).select("doc_id").as[String].collect().sorted.toSeq
+    val b = SampleOps.tokenBudgetFlag(df.coalesce(1), 25L)
+      .where(col("kept")).select("doc_id").as[String].collect().sorted.toSeq
+    assert(a === b)
+    // fixture: kept token total respects the budget per source
+    val tok = TokenTable.tokens(spark, sf001)
+    val summ = SampleOps.tokenBudgetSummary(tok, 100000L)
+      .as[(String, Long, Long, Long)].collect()
+    summ.foreach { case (s, kept, tokKept, dropped) =>
+      assert(tokKept <= 100000L, s"source $s exceeds budget: $tokKept")
+      assert(kept > 0)
+    }
+    // at least one source is capped at sf0.01-scale inputs
+    assert(summ.exists(_._4 > 0))
+  }
+
   test("approx distinct check lands within the 5% bound on the fixture") {
     val tok = TokenTable.tokens(spark, sf001)
     val r = StatsOps.approxDistinctCheck(tok, "doc_id")
