@@ -291,17 +291,20 @@ object Explain {
       ChunkOps.contextWindows(stok, 32, 24).count() // warm
       timed("r6_chunk")(ChunkOps.contextWindows(stok, 32, 24).count())
       timed("r6_chunk2")(ChunkOps.contextWindows(stok, 32, 24).count())
+      // re-split BEFORE replicating: the tiny fixture file is ONE input
+      // split and piiCounts is shuffle-free, so both the crossJoin
+      // replication and the regex pass would otherwise serialize in a
+      // single task at any core count (measured flat 1.76→1.45 s; with a
+      // post-replication split the regex scaled but the replication
+      // stayed serial: 5.63→2.52 s at ×64). A real corpus arrives in
+      // thousands of splits; model that, don't measure the fixture's
+      // file layout.
       val sdocs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .repartition(cpus * 4)
         .crossJoin(spark.range(scale).toDF("r"))
         .withColumn("doc_id", col("doc_id") + col("r") * 10000000L)
         .drop("r")
-      // repartition: the replicated frame inherits the tiny fixture
-      // file's ONE input split, and piiCounts is shuffle-free — without
-      // an explicit re-split the whole regex pass runs in a single task
-      // at any core count (measured flat 1.76→1.45 s). A real corpus
-      // arrives in thousands of splits; model that, don't measure the
-      // fixture's file layout.
-      val pii = TextOps.piiCounts(sdocs.repartition(cpus * 4)
+      val pii = TextOps.piiCounts(sdocs
         .withColumn("text", concat(
           col("text"), lit(" reach "), col("doc_id").cast("string"),
           lit("@mail3.com via 10.1."), pmod(col("n_chars"), lit(250))
