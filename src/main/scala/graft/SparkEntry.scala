@@ -1288,6 +1288,20 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Composed curation funnel (new in r6): per-stage survivor counts —
+    * input → exact dedup → SimHash near-dup drop → decontamination vs the
+    * doc_id<25 eval slice → quality filter
+    * ([[graft.operators.DedupOps.corpusFunnel]], md5-60 SimHash for the
+    * oracle replay).
+    */
+  def dCorpusFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    DedupOps.corpusFunnel(
+        d.where(col("doc_id") >= 25), d.where(col("doc_id") < 25),
+        maxHamming = 3, wordHash = DedupOps.md5WordHash60, bits = 60)
+      .orderBy("stage")
+  }
+
   /** Int8 quantization error report (new in r5): per-label mean/max
     * reconstruction MSE of per-dimension affine int8 quantization — the
     * go/no-go gate before compressing a vector index's payload 4×
@@ -1533,6 +1547,7 @@ object Queries {
     "d_mix_weights" -> (dMixWeights _),
     "d_pii_scrub" -> (dPiiScrub _),
     "v_token_budget" -> (vTokenBudget _),
+    "d_corpus_funnel" -> (dCorpusFunnel _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -3481,5 +3496,100 @@ object Queries {
          |       CAST(sum(CASE WHEN cum > 100000 THEN 1 ELSE 0 END)
          |         AS BIGINT) AS n_dropped
          |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // composed curation funnel over the doc_id>=25 corpus (eval = <25):
+    // per-doc flags replayed from the fingerprint / md5-60 SimHash /
+    // 3-shingle-overlap / quality oracles, intersected in stage order
+    "d_corpus_funnel" ->
+      """WITH base AS (SELECT * FROM documents WHERE doc_id >= 25),
+        |fpt AS (
+        |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp
+        |  FROM base),
+        |ek AS (SELECT doc_id,
+        |              doc_id = min(doc_id) OVER (PARTITION BY fp)
+        |                AS exact_keep
+        |       FROM fpt),
+        |wd AS (SELECT doc_id, unnest(list_distinct(list_filter(
+        |         string_split(text, ' '), x -> x <> ''))) AS word
+        |       FROM base),
+        |h AS (SELECT doc_id,
+        |        CAST(concat('0x', substring(md5(word), 1, 15)) AS BIGINT) AS h
+        |      FROM wd),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |         CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |              THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id, CAST(sum(bit << b) AS BIGINT) AS simhash
+        |       FROM bits GROUP BY doc_id),
+        |chunks AS (
+        |  SELECT doc_id, simhash, c AS chunk_id,
+        |         (simhash >> (c * 15)) & 32767 AS chunk_key
+        |  FROM sh CROSS JOIN (VALUES (0), (1), (2), (3)) t(c)
+        |  QUALIFY count(*) OVER (PARTITION BY c, (simhash >> (c * 15)) & 32767)
+        |          <= 1000),
+        |nd AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id
+        |  FROM chunks a JOIN chunks b
+        |    ON a.chunk_id = b.chunk_id AND a.chunk_key = b.chunk_key
+        |   AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |wsa AS (SELECT doc_id,
+        |               list_filter(string_split(text,' '), x -> x <> '') AS ws
+        |        FROM documents),
+        |sh3 AS (
+        |  SELECT doc_id, CASE WHEN len(ws) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(ws)-1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+        |    ELSE [coalesce(array_to_string(ws,' '), '')] END AS sh
+        |  FROM wsa),
+        |cont AS (
+        |  SELECT DISTINCT c.doc_id
+        |  FROM sh3 c JOIN sh3 e ON c.doc_id >= 25 AND e.doc_id < 25
+        |  WHERE len(list_intersect(c.sh, e.sh)) >= 3),
+        |qb AS (
+        |  SELECT doc_id, length(text) AS chars,
+        |         length(text) - length(replace(text, ' ', '')) AS spaces,
+        |         len(list_filter(string_split(text,' '), x -> x <> '')) AS nw,
+        |         length(text) - length(regexp_replace(text,
+        |           '[^A-Za-z0-9\s]', '', 'g')) AS punct
+        |  FROM base),
+        |qk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN nw < 10 THEN false WHEN nw > 100000 THEN false
+        |         WHEN (CASE WHEN nw > 0
+        |               THEN CAST(chars - spaces AS DOUBLE)/nw
+        |               ELSE 0.0 END) < 3.0 THEN false
+        |         WHEN (CASE WHEN nw > 0
+        |               THEN CAST(chars - spaces AS DOUBLE)/nw
+        |               ELSE 0.0 END) > 12.0 THEN false
+        |         WHEN (CASE WHEN chars > 0
+        |               THEN CAST(punct AS DOUBLE)/chars
+        |               ELSE 0.0 END) > 0.30 THEN false
+        |         ELSE true END AS quality_keep
+        |  FROM qb),
+        |f AS (
+        |  SELECT b.doc_id, ek.exact_keep,
+        |         b.doc_id IN (SELECT doc_id FROM nd) AS near_drop,
+        |         b.doc_id IN (SELECT doc_id FROM cont) AS contaminated,
+        |         qk.quality_keep
+        |  FROM base b JOIN ek USING (doc_id) JOIN qk USING (doc_id))
+        |SELECT '1_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM f
+        |UNION ALL
+        |SELECT '2_exact_dedup', CAST(sum(CASE WHEN exact_keep
+        |  THEN 1 ELSE 0 END) AS BIGINT) FROM f
+        |UNION ALL
+        |SELECT '3_near_dedup', CAST(sum(CASE WHEN exact_keep AND NOT near_drop
+        |  THEN 1 ELSE 0 END) AS BIGINT) FROM f
+        |UNION ALL
+        |SELECT '4_decontaminated', CAST(sum(CASE WHEN exact_keep
+        |  AND NOT near_drop AND NOT contaminated
+        |  THEN 1 ELSE 0 END) AS BIGINT) FROM f
+        |UNION ALL
+        |SELECT '5_quality', CAST(sum(CASE WHEN exact_keep AND NOT near_drop
+        |  AND NOT contaminated AND quality_keep
+        |  THEN 1 ELSE 0 END) AS BIGINT) FROM f
+        |ORDER BY stage""".stripMargin,
   )
 }

@@ -466,4 +466,68 @@ object DedupOps {
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id")),
       converged, i, lastChanged)
   }
+
+  // ---- composed corpus funnel ---------------------------------------------
+
+  /** The composed document-pipeline FUNNEL: how many documents survive each
+    * curation stage, in the order a training pipeline applies them —
+    * input → exact dedup (fingerprint keeper) → near-dup drop (SimHash
+    * pairs) → decontamination (eval-shingle overlap) → quality filter.
+    * One row per stage, monotonically non-increasing counts — the
+    * shipping-decision summary ("we started with X docs, trained on Y").
+    *
+    * Stage semantics: every flag is computed PER DOCUMENT against the full
+    * corpus and the funnel intersects them in order. For the near-dup
+    * stage this equals computing pairs among exact-dedup survivors:
+    * an exact duplicate has its keeper's identical word set, hence the
+    * identical SimHash, so any pair through a dropped copy is also a pair
+    * through its keeper. That independence is what makes the funnel ONE
+    * aggregate over a flags frame instead of four dependent recounts.
+    *
+    * Scale shape: three corpus passes that must exist regardless
+    * (fingerprint, SimHash, shingle explode) produce doc-id-keyed slim
+    * flag frames; the joins shuffle ids + booleans, never text; the
+    * funnel itself is a single-row aggregate unpivoted to 5 rows.
+    */
+  def corpusFunnel(corpus: DataFrame, evalDocs: DataFrame,
+      maxHamming: Int = 2,
+      wordHash: Column => Column = xxWordHash, bits: Int = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val exactKeep = TextOps.fingerprints(corpus)
+      .select(col("doc_id"),
+        (col("doc_id") === min(col("doc_id")).over(w)).as("exact_keep"))
+    val nearDrop = simHashDuplicates(corpus, maxHamming,
+        wordHash = wordHash, bits = bits)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("near_drop", lit(true))
+    val contaminated = contaminationCheck(corpus, evalDocs)
+      .select(col("doc_id")).withColumn("contaminated", lit(true))
+    val quality = TextOps.qualityFilter(corpus)
+      .select(col("doc_id"), col("keep").as("quality_keep"))
+    val flags = corpus.select("doc_id")
+      .join(exactKeep, Seq("doc_id"))
+      .join(nearDrop, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"))
+      .select(col("exact_keep"),
+        coalesce(col("near_drop"), lit(false)).as("near_drop"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        col("quality_keep"))
+    val s2 = col("exact_keep")
+    val s3 = s2 && !col("near_drop")
+    val s4 = s3 && !col("contaminated")
+    val s5 = s4 && col("quality_keep")
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    flags.agg(
+        count(lit(1)).as("n1"), cnt(s2).as("n2"), cnt(s3).as("n3"),
+        cnt(s4).as("n4"), cnt(s5).as("n5"))
+      .select(explode(array(
+        struct(lit("1_input").as("stage"), col("n1").as("n_docs")),
+        struct(lit("2_exact_dedup").as("stage"), col("n2").as("n_docs")),
+        struct(lit("3_near_dedup").as("stage"), col("n3").as("n_docs")),
+        struct(lit("4_decontaminated").as("stage"), col("n4").as("n_docs")),
+        struct(lit("5_quality").as("stage"), col("n5").as("n_docs"))))
+        .as("s"))
+      .select(col("s.stage").as("stage"), col("s.n_docs").as("n_docs"))
+  }
 }

@@ -169,6 +169,28 @@ class Round6OpsSpec extends SparkSpec {
     assert(summ.exists(_._4 > 0))
   }
 
+  test("corpus funnel: monotone survivor counts, stages match components") {
+    import graft.operators.DedupOps
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+    val corpus = d.where(col("doc_id") >= 25)
+    val eval_ = d.where(col("doc_id") < 25)
+    val f = DedupOps.corpusFunnel(corpus, eval_, maxHamming = 3,
+        wordHash = DedupOps.md5WordHash60, bits = 60)
+      .orderBy("stage").as[(String, Long)].collect().toSeq
+    assert(f.map(_._1) === Seq("1_input", "2_exact_dedup", "3_near_dedup",
+      "4_decontaminated", "5_quality"))
+    val counts = f.map(_._2)
+    assert(counts === counts.sorted.reverse, s"not monotone: $f")
+    assert(counts.head === corpus.count())
+    // stage 2 equals the component operator's own accounting:
+    // input minus the exact-duplicate rows that are not keepers
+    val dupsDropped = DedupOps.exactDuplicates(corpus)
+      .where(!col("keep")).count()
+    assert(counts(1) === counts.head - dupsDropped)
+    // every near-dup dropped doc has a surviving smaller near-dup partner
+    assert(counts(2) <= counts(1))
+  }
+
   test("approx distinct check lands within the 5% bound on the fixture") {
     val tok = TokenTable.tokens(spark, sf001)
     val r = StatsOps.approxDistinctCheck(tok, "doc_id")
