@@ -1302,6 +1302,24 @@ object Queries {
       .orderBy("stage")
   }
 
+  /** Incremental ingest dedup (new in r6): the doc_id>=400 batch gated
+    * against the doc_id<400 history's fingerprint index
+    * ([[DedupOps.incrementalDedup]]).
+    */
+  def dIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    DedupOps.incrementalDedup(
+        d.where(col("doc_id") >= 400),
+        graft.operators.TextOps.fingerprints(d.where(col("doc_id") < 400)))
+      .orderBy("doc_id")
+  }
+
+  /** Partition-skew diagnostic (new in r6): per-source share vs uniform,
+    * flagged at 2× ([[graft.engine.StatsOps.skewReport]]).
+    */
+  def vSkewReport(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.StatsOps.skewReport(tok(spark, dir)).orderBy("source")
+
   /** Int8 quantization error report (new in r5): per-label mean/max
     * reconstruction MSE of per-dimension affine int8 quantization — the
     * go/no-go gate before compressing a vector index's payload 4×
@@ -1548,6 +1566,8 @@ object Queries {
     "d_pii_scrub" -> (dPiiScrub _),
     "v_token_budget" -> (vTokenBudget _),
     "d_corpus_funnel" -> (dCorpusFunnel _),
+    "d_incremental_dedup" -> (dIncrementalDedup _),
+    "v_skew_report" -> (vSkewReport _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -3591,5 +3611,41 @@ object Queries {
         |  AND NOT contaminated AND quality_keep
         |  THEN 1 ELSE 0 END) AS BIGINT) FROM f
         |ORDER BY stage""".stripMargin,
+
+    // incremental ingest dedup: doc_id>=400 batch vs the <400 history's
+    // fingerprint set; within-batch keeper = min doc_id per fp
+    "d_incremental_dedup" ->
+      """WITH fpall AS (
+        |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp
+        |  FROM documents),
+        |hist AS (SELECT DISTINCT fp FROM fpall WHERE doc_id < 400),
+        |newd AS (SELECT doc_id, fp FROM fpall WHERE doc_id >= 400),
+        |f AS (
+        |  SELECT doc_id, fp,
+        |         fp IN (SELECT fp FROM hist) AS dup_of_history,
+        |         doc_id <> min(doc_id) OVER (PARTITION BY fp) AS dup_in_batch
+        |  FROM newd)
+        |SELECT doc_id, fp, dup_of_history, dup_in_batch,
+        |       (NOT dup_of_history) AND (NOT dup_in_batch) AS admit
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // per-source skew factor vs uniform spread, flagged at 2x
+    "v_skew_report" ->
+      s"""WITH $cte,
+         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+         |               CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |        FROM tok GROUP BY source),
+         |t AS (SELECT source, n_rows, n_tokens,
+         |             CAST(n_rows AS DOUBLE) / sum(CAST(n_rows AS DOUBLE))
+         |               OVER () AS share,
+         |             CAST(n_rows AS DOUBLE) / sum(CAST(n_rows AS DOUBLE))
+         |               OVER () * count(*) OVER () AS skew
+         |      FROM per)
+         |SELECT source, n_rows, n_tokens,
+         |       round(share, 6) AS row_share,
+         |       round(skew, 6) AS skew_factor,
+         |       skew > 2.0 AS skewed
+         |FROM t ORDER BY source""".stripMargin,
   )
 }

@@ -182,4 +182,26 @@ object StatsOps {
       .select(col("n_rows"), col("n_exact"),
         (abs(col("n_approx") - col("n_exact")).cast("double") /
           col("n_exact").cast("double") <= tol).as("within_bound"))
+
+  /** Partition-skew diagnostic: per-source row/token share vs a uniform
+    * spread, with the skew factor (share ÷ uniform share) and a flag at
+    * `threshold` — the report read BEFORE choosing a layout (a flagged
+    * source is the one that serializes source-partitioned windows and
+    * motivates salting / the two-level packing form). One aggregate over
+    * the corpus + a window over the source-cardinality frame.
+    */
+  def skewReport(tokens: DataFrame, threshold: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val per = tokens.groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_tok").cast("long")).as("n_tokens"))
+    val share = col("n_rows").cast("double") /
+      sum(col("n_rows")).over(all)
+    val skew = share * count(lit(1)).over(all)
+    per.select(col("source"), col("n_rows"), col("n_tokens"),
+      round(share, 6).as("row_share"),
+      round(skew, 6).as("skew_factor"),
+      (skew > threshold).as("skewed"))
+  }
 }

@@ -467,6 +467,32 @@ object DedupOps {
       converged, i, lastChanged)
   }
 
+  /** INCREMENTAL ingest dedup: a new batch checked against the STORED
+    * fingerprint index of everything already admitted — the steady-state
+    * form of exact dedup (a growing corpus never re-deduplicates itself;
+    * it gates each arriving batch). Per new document: duplicate-of-history
+    * (fingerprint already indexed), duplicate-within-batch (not the
+    * batch's keeper for its fingerprint), and the admit verdict; admitted
+    * fingerprints are what the caller appends back to the index.
+    *
+    * Scale shape: the history index is corpus-sized but slim (fp only,
+    * stored bucketed by fp); the arriving batch is small by definition —
+    * the join broadcasts the BATCH side against the bucketed index scan
+    * (or prunes it to the batch's fp buckets), never shuffling history.
+    * Within-batch keeper choice windows over batch-sized fp frames.
+    */
+  def incrementalDedup(newDocs: DataFrame, knownFps: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val hist = knownFps.select(col("fp")).distinct()
+      .withColumn("_hist", lit(true))
+    TextOps.fingerprints(newDocs)
+      .join(hist, Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("_hist"), lit(false)).as("dup_of_history"),
+        (col("doc_id") =!= min(col("doc_id")).over(w)).as("dup_in_batch"))
+      .withColumn("admit", !col("dup_of_history") && !col("dup_in_batch"))
+  }
+
   // ---- composed corpus funnel ---------------------------------------------
 
   /** The composed document-pipeline FUNNEL: how many documents survive each

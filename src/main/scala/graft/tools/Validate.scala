@@ -172,6 +172,27 @@ object Validate {
   }
 
   def main(argv: Array[String]): Unit = {
+    // trend-only verb: `Validate --trend <metricsDir>` reads the metrics
+    // table and prints the run-over-run trend — no corpus, no rules
+    val ti = argv.indexOf("--trend")
+    if (ti >= 0) {
+      val cpusT = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+      val spark = graft.Sessions.local(cpusT, "graft-trend")
+      try {
+        val rows = graft.engine.MetricsStore.trend(spark, argv(ti + 1))
+          .orderBy("run_id", "rule_id").collect().map { r =>
+            s"""{"run_id":${r.getLong(0)},"rule_id":"${r.getString(1)}",""" +
+              s""""n_violations":${r.getLong(2)},""" +
+              s""""prev_violations":${if (r.isNullAt(3)) "null"
+                else r.getLong(3)},""" +
+              s""""delta":${if (r.isNullAt(4)) "null" else r.getLong(4)},""" +
+              s""""regressed":${if (r.isNullAt(5)) "null"
+                else r.getBoolean(5)}}"""
+          }.mkString("[", ",", "]")
+        println(s"""{"trend":$rows}""")
+      } finally spark.stop()
+      return
+    }
     val args = parseArgs(argv)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = graft.Sessions.local(cpus, "graft-validate")

@@ -191,6 +191,42 @@ class Round6OpsSpec extends SparkSpec {
     assert(counts(2) <= counts(1))
   }
 
+  test("incremental dedup: history dup, batch dup, and admit verdicts") {
+    import graft.operators.DedupOps
+    val hist = Seq((1L, "alpha beta gamma", "A"))
+      .toDF("doc_id", "text", "source")
+    val batch = Seq(
+      (10L, "alpha beta gamma", "A"),   // dup of history
+      (11L, "delta epsilon zeta", "A"), // fresh keeper
+      (12L, "delta epsilon zeta", "A"), // dup within batch
+      (13L, "eta theta iota", "N")      // fresh
+    ).toDF("doc_id", "text", "source")
+    val got = DedupOps.incrementalDedup(batch,
+        TextOps.fingerprints(hist))
+      .orderBy("doc_id")
+      .select("doc_id", "dup_of_history", "dup_in_batch", "admit")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (10L, true, false, false),
+      (11L, false, false, true),
+      (12L, false, true, false),
+      (13L, false, false, true)))
+  }
+
+  test("skew report flags a dominant source above the 2x threshold") {
+    val rows = (1 to 90).map(i => (s"d$i", 10, "big")) ++
+      (1 to 5).map(i => (s"s$i", 10, "sm1")) ++
+      (1 to 5).map(i => (s"t$i", 10, "sm2"))
+    val df = rows.toDF("doc_id", "n_tok", "source")
+    val got = graft.engine.StatsOps.skewReport(df)
+      .select("source", "skew_factor", "skewed")
+      .as[(String, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // uniform share over 3 sources = 1/3; big holds 90% → skew 2.7
+    assert(got("big")._2 && got("big")._1 > 2.0)
+    assert(!got("sm1")._2 && !got("sm2")._2)
+  }
+
   test("approx distinct check lands within the 5% bound on the fixture") {
     val tok = TokenTable.tokens(spark, sf001)
     val r = StatsOps.approxDistinctCheck(tok, "doc_id")
