@@ -1320,6 +1320,14 @@ object Queries {
   def vSkewReport(spark: SparkSession, dir: String): DataFrame =
     graft.engine.StatsOps.skewReport(tok(spark, dir)).orderBy("source")
 
+  /** Deterministic training order (new in r6): md5-bucket shard + md5
+    * position within shard ([[graft.operators.SampleOps.shuffleOrder]],
+    * 8 shards).
+    */
+  def dShuffleOrder(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SampleOps.shuffleOrder(docs(spark, dir), "doc_id", 8)
+      .orderBy("shard", "pos")
+
   /** Int8 quantization error report (new in r5): per-label mean/max
     * reconstruction MSE of per-dimension affine int8 quantization — the
     * go/no-go gate before compressing a vector index's payload 4×
@@ -1568,6 +1576,7 @@ object Queries {
     "d_corpus_funnel" -> (dCorpusFunnel _),
     "d_incremental_dedup" -> (dIncrementalDedup _),
     "v_skew_report" -> (vSkewReport _),
+    "d_shuffle_order" -> (dShuffleOrder _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -3629,6 +3638,20 @@ object Queries {
         |SELECT doc_id, fp, dup_of_history, dup_in_batch,
         |       (NOT dup_of_history) AND (NOT dup_in_batch) AS admit
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // deterministic training order: md5 bucket shard, md5-order position
+    "d_shuffle_order" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         CAST(CAST(concat('0x',
+        |           substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |           AS BIGINT) % 8 AS INT) AS shard,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard
+        |         ORDER BY h, doc_id) AS INT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
 
     // per-source skew factor vs uniform spread, flagged at 2x
     "v_skew_report" ->

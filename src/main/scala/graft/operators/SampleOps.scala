@@ -138,4 +138,27 @@ object SampleOps {
         sum(when(col("kept"), col("n_tok").cast("long")).otherwise(0L))
           .as("tok_kept"),
         sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"))
+
+  /** Deterministic global TRAINING ORDER: assign every document a shard
+    * and a position within it — shard by md5 bucket, position by md5
+    * order — so the "shuffled" curriculum is a pure function of document
+    * ids: reproducible across reruns/engines/layouts (the property
+    * `orderBy(rand())` destroys), resumable mid-epoch (shard, pos) and
+    * free of source/time locality (adjacent ids land in unrelated
+    * shards).
+    *
+    * Scale shape: one shuffle (hash-partition by shard) + one row_number
+    * window per shard; shard count chosen for the trainer's reader
+    * parallelism bounds the window frames at corpus/nShards. The writer
+    * side would `partitionBy(shard)` + sort by pos within files.
+    */
+  def shuffleOrder(docs: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("shard",
+        hashBucket(col(idCol), nShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
 }

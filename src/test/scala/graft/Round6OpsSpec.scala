@@ -227,6 +227,25 @@ class Round6OpsSpec extends SparkSpec {
     assert(!got("sm1")._2 && !got("sm2")._2)
   }
 
+  test("shuffle order: contiguous positions per shard, layout-invariant") {
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+    val o = SampleOps.shuffleOrder(d, "doc_id", 8)
+    // positions are 1..n within every shard, no gaps or dups
+    val perShard = o.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"),
+        countDistinct("pos").as("dp"))
+      .as[(Int, Long, Int, Long)].collect()
+    perShard.foreach { case (s, n, mx, dp) =>
+      assert(mx.toLong === n && dp === n, s"shard $s: n=$n max=$mx dp=$dp")
+    }
+    assert(perShard.map(_._2).sum === d.count())
+    // deterministic across layouts
+    val a = o.orderBy("shard", "pos").collect().toSeq
+    val b = SampleOps.shuffleOrder(d.repartition(13), "doc_id", 8)
+      .orderBy("shard", "pos").collect().toSeq
+    assert(a === b)
+  }
+
   test("approx distinct check lands within the 5% bound on the fixture") {
     val tok = TokenTable.tokens(spark, sf001)
     val r = StatsOps.approxDistinctCheck(tok, "doc_id")
