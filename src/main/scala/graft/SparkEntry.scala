@@ -1397,10 +1397,13 @@ object Queries {
     * (even-okey) snapshot violations classified new / resolved /
     * persisting per rule — the regression view of two validation runs.
     */
+  /** One-pass subset form since r6 ([[graft.report.ReportOps
+    * .diffReportSubset]]): half the corpus I/O of diffing two independent
+    * rule passes; output pinned unchanged by the same oracle.
+    */
   def rReportDiff(spark: SparkSession, dir: String): DataFrame =
-    graft.report.ReportOps.diffReport(
-        detailed(spark, dir),
-        Validator.violations(baselineTok(spark, dir), ruleSet, dims(spark)))
+    graft.report.ReportOps.diffReportSubset(
+        tok(spark, dir), ruleSet, dims(spark), col("okey") % 2 === 0)
       .orderBy("rule_id", "status")
 
   /** PSI drift (new in r5): per-source Population Stability Index of the

@@ -81,7 +81,11 @@ object Validator {
     // into a Filter and evaluating it twice per row (observed 24×
     // slowdown at sf0.1 in the interpreted-HOF era; still 2× wasted today).
     val withHits =
-      if (rules.size <= GatedRuleChunkThreshold)
+      // empty rule list: concat() of zero typed arrays resolves as STRING
+      // and breaks the explode — emit the typed empty array explicitly
+      if (rules.isEmpty)
+        df.select(col("doc_id"), col("source"), noHit.as("hits"))
+      else if (rules.size <= GatedRuleChunkThreshold)
         df.select(col("doc_id"), col("source"), hitsOf(rules).as("hits"))
       else {
         // chunk-stage: ≥101 chunk columns push the projection out of WSCG

@@ -150,6 +150,86 @@ object ReportOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[diffReport]] specialized to a baseline that is a SUBSET SNAPSHOT of
+    * the current table (`baseFlag` marks the baseline rows): the same
+    * (rule_id, status, cnt) output from ONE rule pass instead of two.
+    *
+    * Why it's sound: a row-level/referential violation is a property of
+    * the ROW, so the baseline's violation set is exactly the current
+    * pass's rows where `baseFlag` holds — recomputing them on the filtered
+    * table is a second full corpus scan for information the first pass
+    * already touched. The flag rides through the violation pass encoded
+    * as a doc_id suffix (#0/#1 — the row pass never interprets doc_id),
+    * and per-identity base membership is `max(flag)` over the identity
+    * group. Uniqueness is the one dataset-level rule whose baseline
+    * verdicts differ (a key can be duplicated in the full table but
+    * unique in the snapshot), and its per-snapshot counts AND min-source
+    * identities come from the SAME single key-aggregate (cnt, base cnt,
+    * both min sources) — including the corner where the baseline's
+    * min(source) differs from the full table's, which produces a
+    * base-only identity (a `resolved` row) exactly as the two-pass form
+    * would. Caveat: assumes non-null doc_id (the engine's not-null rule
+    * gates that) and single-column unique keys.
+    *
+    * Scale: two-pass diff = 2 × (row scan + ref scan + unique shuffle);
+    * this = 1 × row scan + 1 × ref scan + 1 unique shuffle — half the
+    * corpus I/O of the report the reference regenerates per snapshot.
+    */
+  def diffReportSubset(tok: DataFrame, ruleSet: graft.rules.RuleSet,
+      dims: Map[String, DataFrame],
+      baseFlag: Column): DataFrame = {
+    import graft.engine.Validator
+    val tagged = tok.withColumn("doc_id",
+      concat(col("doc_id"), when(baseFlag, lit("#1")).otherwise(lit("#0"))))
+    val rowRefParts =
+      (if (ruleSet.rowRules.nonEmpty)
+        Seq(Validator.rowViolations(tagged, ruleSet.rowRules)) else Nil) ++
+      ruleSet.referentialRules.map(r =>
+        Validator.referentialViolations(tagged, r, dims(r.dimension)))
+    val rr = rowRefParts.reduceOption(_ unionByName _).map {
+      _.select(col("doc_id").as("_tag"), col("rule_id"), col("source"))
+        .groupBy(expr("substring(_tag, 1, length(_tag)-2)").as("doc_id"),
+          col("rule_id"), col("source"))
+        .agg(max(expr("substring(_tag, -2, 2) = '#1'")).as("in_base"))
+        .withColumn("in_cur", lit(true))
+    }
+
+    // one projection + explode per unique rule: emitting the current and
+    // base-only identities as where()+union branches would EXECUTE the
+    // key aggregate twice (two corpus scans — the waste this one-pass
+    // form exists to remove)
+    val uniqs = ruleSet.uniqueRules.filter(_.moreColumns.isEmpty).map { u =>
+      val none = array().cast("array<struct<doc_id:string,rule_id:string," +
+        "source:string,in_base:boolean,in_cur:boolean>>")
+      def ident(src: Column, inBase: Column, inCur: Column) =
+        struct(col(u.column).cast("string").as("doc_id"),
+          lit(u.id).as("rule_id"), src.as("source"),
+          inBase.as("in_base"), inCur.as("in_cur"))
+      tok.groupBy(col(u.column))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(baseFlag, 1L).otherwise(0L)).as("cntb"),
+          min(col("source")).as("srcf"),
+          min(when(baseFlag, col("source"))).as("srcb"))
+        .select(explode(concat(
+          when(col("cnt") > 1, array(ident(col("srcf"),
+            col("cntb") > 1 && (col("srcb") <=> col("srcf")), lit(true))))
+            .otherwise(none),
+          when(col("cntb") > 1 && !(col("srcb") <=> col("srcf")),
+            array(ident(col("srcb"), lit(true), lit(false))))
+            .otherwise(none))).as("r"))
+        .select(col("r.doc_id"), col("r.rule_id"), col("r.source"),
+          col("r.in_base"), col("r.in_cur"))
+    }
+
+    (rr.toSeq ++ uniqs).reduce(_ unionByName _)
+      .select(col("rule_id"),
+        when(col("in_cur") && col("in_base"), "persisting")
+          .when(col("in_cur"), "new")
+          .otherwise("resolved").as("status"))
+      .groupBy("rule_id", "status")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Persist an assembled report as a snapshot-stamped parquet artifact —
     * the engine analogue of the reference writing one timestamped JSON
     * report per run (extraction/main.py:296-304). Returns the artifact

@@ -23,6 +23,11 @@ class PlanAuditSpec extends SparkSpec {
         s"violations scans = $vScans — the report re-executes the subtree")
     // routed: one row-rule scan + one per dataset-rule slice
     assert(scans(Queries.vRoutedMatrix(spark, sf001)) <= 6)
+    // one-pass subset diff (r6): the snapshot diff must cost ONE rule
+    // pass, not two — same scan budget as the violations plan itself
+    assert(scans(Queries.rReportDiff(spark, sf001)) <=
+      scans(Queries.vViolations(spark, sf001)),
+      "subset diff re-scans the corpus for the baseline leg")
   }
 
   test("vocabulary-sized joins broadcast (LM scoring, PMI)") {

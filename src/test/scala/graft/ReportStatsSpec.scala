@@ -146,4 +146,43 @@ class ReportStatsSpec extends SparkSpec {
       l.startsWith("| ") && !l.startsWith("| severity")) ===
       report.count().toInt)
   }
+
+  test("one-pass subset diff equals the two-pass diff, incl. min-source drift") {
+    import graft.engine.Validator
+    import graft.rules.{RuleSet, UniqueRule}
+    import graft.sources.TokenTable
+
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("rule_id", "status", "cnt")
+        .as[(String, String, Long)].collect().toSet
+
+    // corner fixture: dup key whose baseline min(source) differs from the
+    // full table's — the base-only identity must appear as `resolved`
+    val rules = RuleSet("t", Seq(UniqueRule("u", "doc_id")))
+    val df = Seq(
+      ("x", "A", false), ("x", "B", true), ("x", "C", true),
+      ("y", "A", true), ("y", "A", true),
+      ("z", "N", false)
+    ).toDF("doc_id", "source", "is_base")
+      .withColumn("tokens", array(lit(1))).withColumn("n_tok", lit(1))
+    val onePass = ReportOps.diffReportSubset(
+      df, rules, Map.empty, col("is_base"))
+    val twoPass = ReportOps.diffReport(
+      Validator.violations(df, rules, Map.empty),
+      Validator.violations(df.where(col("is_base")), rules, Map.empty))
+    assert(asSet(onePass) === asSet(twoPass))
+    assert(asSet(onePass).exists(_._2 == "resolved"),
+      "min-source drift corner must surface a resolved row")
+
+    // and on the fixture corpus with the full default rule set
+    val tok = TokenTable.tokens(spark, sf0001)
+    val ruleSet = RuleSet.default(TokenTable.Vocab)
+    val dims = Map("allowed_sources" -> TokenTable.allowedDim(spark))
+    val op = ReportOps.diffReportSubset(tok, ruleSet, dims,
+      col("okey") % 2 === 0)
+    val tp = ReportOps.diffReport(
+      Validator.violations(tok, ruleSet, dims),
+      Validator.violations(tok.where(col("okey") % 2 === 0), ruleSet, dims))
+    assert(asSet(op) === asSet(tp))
+  }
 }
