@@ -533,14 +533,19 @@ object Queries {
     * predicate — the same shape as `includeSources`, each violations
     * subtree planned exactly once.
     */
-  def rRuleOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val baseRules =
-      Validator.violations(baselineTok(spark, dir), ruleSet, dims(spark))
-        .select("rule_id").distinct().collect().map(_.getString(0)).toSeq
-    detailed(spark, dir).select("rule_id").distinct()
-      .where(col("rule_id").isin(baseRules: _*))
-      .orderBy("rule_id")
-  }
+  /** One-pass since r6: rule-id presence per snapshot falls out of the
+    * subset diff's statuses (in cur ⇔ new/persisting, in base ⇔
+    * resolved/persisting) — was two full rule passes plus a driver-side
+    * collect + isin.
+    */
+  def rRuleOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.report.ReportOps.diffReportSubset(
+        tok(spark, dir), ruleSet, dims(spark), col("okey") % 2 === 0)
+      .groupBy("rule_id")
+      .agg(max(col("status").isin("new", "persisting")).as("_c"),
+        max(col("status").isin("resolved", "persisting")).as("_b"))
+      .where(col("_c") && col("_b"))
+      .select("rule_id").orderBy("rule_id")
 
   /** Streaming session windows (new in r5): native `session_window`
     * aggregation per user over the events stream, append mode — only
@@ -1328,6 +1333,26 @@ object Queries {
     graft.operators.SampleOps.shuffleOrder(docs(spark, dir), "doc_id", 8)
       .orderBy("shard", "pos")
 
+  /** Text normalization report (new in r6): the corpus text is augmented
+    * with deterministic formatting noise (case + whitespace runs, every
+    * third doc — identical string both engines), then normalized and
+    * accounted per source ([[TextOps.normalizeReport]]).
+    */
+  def dNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val messy = docs(spark, dir).withColumn("text",
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit("  PAD  "), upper(substring(col("text"), 1, 10)),
+          substring(col("text"), 11, 1 << 28), lit("   tail  ")))
+        .otherwise(col("text")))
+    TextOps.normalizeReport(messy)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("changed"), 1L).otherwise(0L)).as("n_changed"),
+        sum("chars_saved").as("chars_saved"),
+        sum("norm_len").as("norm_len"))
+      .orderBy("source")
+  }
+
   /** Int8 quantization error report (new in r5): per-label mean/max
     * reconstruction MSE of per-dimension affine int8 quantization — the
     * go/no-go gate before compressing a vector index's payload 4×
@@ -1580,6 +1605,7 @@ object Queries {
     "d_incremental_dedup" -> (dIncrementalDedup _),
     "v_skew_report" -> (vSkewReport _),
     "d_shuffle_order" -> (dShuffleOrder _),
+    "d_normalize" -> (dNormalize _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -3641,6 +3667,27 @@ object Queries {
         |SELECT doc_id, fp, dup_of_history, dup_in_batch,
         |       (NOT dup_of_history) AND (NOT dup_in_batch) AS admit
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // normalization over deterministically messied text; DuckDB
+    // regexp_replace needs 'g' for Spark's replace-all semantics
+    "d_normalize" ->
+      """WITH messy AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN '  PAD  ' || upper(substring(text, 1, 10)) ||
+        |                   substring(text, 11) || '   tail  '
+        |              ELSE text END AS t
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, source, t,
+        |         trim(regexp_replace(lower(t), '\s+', ' ', 'g')) AS norm
+        |  FROM messy)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN norm <> t THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_changed,
+        |       CAST(sum(length(t) - length(norm)) AS BIGINT) AS chars_saved,
+        |       CAST(sum(length(norm)) AS BIGINT) AS norm_len
+        |FROM n GROUP BY source ORDER BY source""".stripMargin,
 
     // deterministic training order: md5 bucket shard, md5-order position
     "d_shuffle_order" ->

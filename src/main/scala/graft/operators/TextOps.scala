@@ -479,6 +479,32 @@ object TextOps {
       (length(t) - length(piiRedact(t))).cast("bigint").as("chars_delta"))
   }
 
+  // ------------------------------------------------------ normalization
+
+  /** Canonical text normalization — the step that runs BEFORE any
+    * hash-keyed dedup so trivially-reformatted copies collide: lowercase,
+    * collapse whitespace runs to one space, trim. Restricted to
+    * engine-portable pieces (lower + `\s+` regex — byte-identical in
+    * java.util.regex and RE2); a production variant would add Unicode NFC,
+    * which has no DuckDB analogue to verify against. Idempotent by
+    * construction (spec-pinned): normalize∘normalize = normalize.
+    */
+  def normalizeText(t: Column): Column =
+    trim(regexp_replace(lower(t), "\\s+", " "))
+
+  /** Per-document normalization report over a caller-supplied text column:
+    * the normalized length, whether anything changed, and the bytes saved.
+    * Pure per-row projection — rides any corpus scan.
+    */
+  def normalizeReport(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val n = normalizeText(t)
+    docs.select(col("doc_id"), col("source"),
+      length(n).cast("bigint").as("norm_len"),
+      (n =!= t).as("changed"),
+      (length(t) - length(n)).cast("bigint").as("chars_saved"))
+  }
+
   // ------------------------------------------------ LM quality buckets
 
   /** CCNet-style perplexity bucketing: assign each document a quality

@@ -246,6 +246,24 @@ class Round6OpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("text normalization: canonical form, idempotent") {
+    val df = Seq(
+      (1L, "  Mixed   CASE \t text  ", "A"),
+      (2L, "already normal", "A")
+    ).toDF("doc_id", "text", "source")
+    val got = df.select(TextOps.normalizeText(col("text")))
+      .as[String].collect().toSeq
+    assert(got === Seq("mixed case text", "already normal"))
+    // idempotence: normalize(normalize(x)) == normalize(x)
+    val once = df.select(TextOps.normalizeText(col("text")).as("t"))
+    val twice = once.select(TextOps.normalizeText(col("t")))
+      .as[String].collect().toSeq
+    assert(twice === got)
+    val rep = TextOps.normalizeReport(df).orderBy("doc_id")
+      .select("changed", "chars_saved").as[(Boolean, Long)].collect().toSeq
+    assert(rep === Seq((true, 8L), (false, 0L)))
+  }
+
   test("approx distinct check lands within the 5% bound on the fixture") {
     val tok = TokenTable.tokens(spark, sf001)
     val r = StatsOps.approxDistinctCheck(tok, "doc_id")
