@@ -154,11 +154,18 @@ object Drift {
       .select(col("source"), col("cur_cnt"), col("base_cnt"),
         sum(col("cur_cnt")).over(w).as("cur_tot"),
         sum(col("base_cnt")).over(w).as("base_tot"))
+      // a source absent from one SIDE entirely (e.g. fully quarantined
+      // from the current table, or new since the baseline) has total 0
+      // there: its per-bucket share is the epsilon floor across the
+      // board — maximal PSI, i.e. the vanish/appear case IS drift — and
+      // the division is guarded (ANSI mode throws on 0/0)
       .select(col("source"),
-        greatest(col("cur_cnt").cast("double") / col("cur_tot"), lit(eps))
-          .as("pc"),
-        greatest(col("base_cnt").cast("double") / col("base_tot"), lit(eps))
-          .as("pb"))
+        greatest(when(col("cur_tot") > 0,
+          col("cur_cnt").cast("double") / col("cur_tot"))
+          .otherwise(lit(0.0)), lit(eps)).as("pc"),
+        greatest(when(col("base_tot") > 0,
+          col("base_cnt").cast("double") / col("base_tot"))
+          .otherwise(lit(0.0)), lit(eps)).as("pb"))
       .groupBy("source")
       .agg(round(sum((col("pc") - col("pb")) * log(col("pc") / col("pb"))), 6)
         .as("psi"))

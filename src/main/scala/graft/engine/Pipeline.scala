@@ -23,7 +23,11 @@ import graft.rules.RuleSetLoader.Routing
   *    the PERSISTED violations (sparse) back, never re-running rules;
   *  - the quarantine split is the one additional corpus pass (it must
   *    rewrite the data by definition), and the summary's repair/quarantine
-  *    counts read the split OUTPUT, not the corpus.
+  *    counts read the split OUTPUT, not the corpus;
+  *  - the optional drift gate histograms the split's clean side (already
+  *    on disk) against the baseline snapshot — count-only aggregates, no
+  *    further rule pass; drifted-source counts join the metrics table
+  *    under `drift_psi_sources`.
   * A re-run at the same snapshot re-validates NOTHING (manifest resume)
   * and rebuilds quarantine + report from the stored violations.
   */
@@ -47,7 +51,11 @@ object Pipeline {
         * violation_rate, max_rate, status) when `expectations` was
         * supplied — evaluated from the STORED violations, no extra pass.
         */
-      suite: Option[DataFrame] = None)
+      suite: Option[DataFrame] = None,
+      /** Per-source PSI drift verdicts (source, psi, drifted) vs the
+        * supplied baseline snapshot, when `driftBaseline` was given.
+        */
+      drift: Option[DataFrame] = None)
 
   /** One composed lifecycle run. `expectedSchema` gates on (column, type)
     * before anything executes (None = gate disabled, for callers without
@@ -63,7 +71,8 @@ object Pipeline {
       metadataRules: Seq[String] = Nil,
       metricsDir: Option[String] = None,
       runId: Long = 1L,
-      expectations: Seq[Expectation] = Nil): Result = {
+      expectations: Seq[Expectation] = Nil,
+      driftBaseline: Option[DataFrame] = None): Result = {
     // 1. schema pre-gate: catalog/footer metadata only — a mis-evolved
     // table fails here before a single executor task is scheduled
     expectedSchema.foreach(SchemaCheck.require(tokens, _))
@@ -126,13 +135,36 @@ object Pipeline {
       else Some(localCopy(spark,
         Expectations.suite(spark, stored, nRows, expectations)))
 
+    // 8. drift gate vs the supplied baseline snapshot: one histogram
+    // aggregate per side (the repaired current table re-reads the split
+    // output already on disk — no extra rule pass). The drifted-source
+    // count lands in the metrics table under the reserved id
+    // `drift_psi_sources`, so the cross-run trend covers distribution
+    // movement beside rule violations.
+    val drift = driftBaseline.map { base =>
+      val d = localCopy(spark,
+        Drift.psiDrift(written.where(col("bucket") === "clean"), base,
+          "n_tok", bucketWidth = 10, threshold = 0.1))
+      metricsDir.foreach { dir =>
+        MetricsStore.appendIds(spark, dir, runId, snapshotId,
+          Seq("drift_psi_sources"),
+          d.where(col("drifted"))
+            .select(col("source").cast("string").as("doc_id"),
+              lit("drift_psi_sources").as("rule_id"),
+              lit("").as("detail"), lit("warning").as("severity"),
+              col("source")),
+          nRows)
+      }
+      d
+    }
+
     // summary and audit are CONFIG-cardinality (per-source / per-rule):
     // pin them driver-side at return, so they stay valid after a LATER
     // run overwrites the quarantine dir their lazy plans read (`table`
     // stays a live view of the dir by contract)
     Result(written, localCopy(spark, audit), localCopy(spark, summary),
       result.validatedPartitions, result.skippedPartitions,
-      result.failedPartitions, reportPath, suite)
+      result.failedPartitions, reportPath, suite, drift)
   }
 
   private def localCopy(spark: SparkSession, df: DataFrame): DataFrame = {

@@ -55,7 +55,11 @@ object Validate {
       /** `--sla true`: evaluate the severity-derived expectation suite
         * over the run's stored violations and include it in the output.
         */
-      sla: Boolean = false)
+      sla: Boolean = false,
+      /** `--drift <parquetPath>`: baseline snapshot for the pipeline's
+        * PSI drift gate; drifted-source counts join the metrics table.
+        */
+      drift: Option[String] = None)
 
   def parseArgs(argv: Array[String]): Args = {
     val m = argv.sliding(2, 2).collect {
@@ -80,7 +84,8 @@ object Validate {
       }),
       metrics = m.get("metrics"),
       runId = m.get("runid").map(_.toLong),
-      sla = m.get("sla").exists(_.toBoolean))
+      sla = m.get("sla").exists(_.toBoolean),
+      drift = m.get("drift"))
   }
 
   final case class RunOutcome(
@@ -168,7 +173,8 @@ object Validate {
       runId = args.runId.getOrElse(args.snapshot),
       expectations =
         if (args.sla) graft.engine.Expectations.defaultSuite(routing)
-        else Nil)
+        else Nil,
+      driftBaseline = args.drift.map(spark.read.parquet(_)))
   }
 
   def main(argv: Array[String]): Unit = {

@@ -174,4 +174,39 @@ class PipelineSpec extends SparkSpec {
     assert(suite("len_consistency") === "PASS")
     assert(suite("ref_source") === "FAIL")
   }
+
+  test("pipeline drift gate: self-baseline is flat, shifted baseline drifts") {
+    import graft.engine.MetricsStore
+    val routing = RuleSetLoader.parse(routingJson)
+    val tok = TokenTable.tokens(spark, sf0001)
+    val base = tmp("graft_pipe_drift")
+    // baseline = the same corpus: surviving sources are flat (PSI ~0),
+    // but `bogus` — fully quarantined out of the clean side — reads as
+    // drifted (the vanish case IS drift, by the epsilon-floor definition)
+    val flat = Pipeline.run(spark, tok, routing, dims,
+      None, s"$base/m1", 1L, s"$base/q1",
+      metricsDir = Some(s"$base/metrics"), runId = 1L,
+      driftBaseline = Some(tok))
+    val flatRows = flat.drift.get.collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(Seq("A", "N", "R").forall(s => !flatRows(s)),
+      s"surviving sources must not drift vs self-baseline: $flatRows")
+    assert(flatRows("bogus"),
+      "a fully-quarantined source must read as drifted (vanish case)")
+    // baseline with shifted n_tok distribution → every source drifts
+    val shifted = tok.withColumn("n_tok", col("n_tok") + 40)
+    val moved = Pipeline.run(spark, tok, routing, dims,
+      None, s"$base/m2", 2L, s"$base/q2",
+      metricsDir = Some(s"$base/metrics"), runId = 2L,
+      driftBaseline = Some(shifted))
+    assert(moved.drift.get.collect().forall(_.getBoolean(2)))
+    // drifted-source counts land in the metrics table per run:
+    // run 1 = just the vanished `bogus`; run 2 = all four sources
+    val m = MetricsStore.history(spark, s"$base/metrics")
+      .where(col("rule_id") === "drift_psi_sources")
+      .select("run_id", "n_violations")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === 1L)
+    assert(m(2L) === 4L)
+  }
 }
