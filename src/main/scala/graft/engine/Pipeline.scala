@@ -72,7 +72,15 @@ object Pipeline {
       metricsDir: Option[String] = None,
       runId: Long = 1L,
       expectations: Seq[Expectation] = Nil,
-      driftBaseline: Option[DataFrame] = None): Result = {
+      driftBaseline: Option[DataFrame] = None,
+      /** When set, the split writes the r5-adjudicated bucketed layout
+        * (`bucketBy(32, doc_id) + sortBy`) registered under this table
+        * name — repeat validations of the clean side plan the uniqueness
+        * aggregate exchange-free (BASELINE.md bucketed-layout
+        * measurement); the plain partitioned layout stays the one-shot
+        * default.
+        */
+      bucketedCleanTable: Option[String] = None): Result = {
     // 1. schema pre-gate: catalog/footer metadata only — a mis-evolved
     // table fails here before a single executor task is scheduled
     expectedSchema.foreach(SchemaCheck.require(tokens, _))
@@ -90,10 +98,16 @@ object Pipeline {
     // 4. quarantine split flags against the PERSISTED violations (no
     // second rule pass); the split write is the one extra corpus scan
     val stored = ViolationStore.latest(spark, vDir, snapshotId)
-    Quarantine.flagWith(repaired, stored)
-      .write.mode("overwrite").partitionBy("bucket", "source")
-      .parquet(quarantineDir)
-    val written = spark.read.parquet(quarantineDir)
+    val written = bucketedCleanTable match {
+      case Some(t) =>
+        Quarantine.writeBucketedFrom(spark,
+          Quarantine.flagWith(repaired, stored), quarantineDir, t)
+      case None =>
+        Quarantine.flagWith(repaired, stored)
+          .write.mode("overwrite").partitionBy("bucket", "source")
+          .parquet(quarantineDir)
+        spark.read.parquet(quarantineDir)
+    }
 
     // 5. artifact report from the same stored violations
     val reportPath = reportDir.map { dir =>

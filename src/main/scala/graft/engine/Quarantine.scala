@@ -77,8 +77,19 @@ object Quarantine {
   def splitWriteBucketed(spark: SparkSession, df: DataFrame,
       ruleSet: RuleSet, dims: Map[String, DataFrame], outDir: String,
       table: String, nBuckets: Int = 32,
+      keyCol: String = "doc_id"): DataFrame =
+    writeBucketedFrom(spark, flag(df, ruleSet, dims, keyCol), outDir,
+      table, nBuckets, keyCol)
+
+  /** The bucketed split write over an ALREADY-FLAGGED frame — the
+    * lifecycle path ([[Pipeline]] flags against persisted violations, so
+    * no rule pass happens here; [[splitWriteBucketed]] keeps the one-shot
+    * flag-and-write form).
+    */
+  def writeBucketedFrom(spark: SparkSession, flagged: DataFrame,
+      outDir: String, table: String, nBuckets: Int = 32,
       keyCol: String = "doc_id"): DataFrame = {
-    flag(df, ruleSet, dims, keyCol)
+    flagged
       .write.mode("overwrite")
       .partitionBy("bucket", "source")
       .bucketBy(nBuckets, keyCol).sortBy(keyCol)

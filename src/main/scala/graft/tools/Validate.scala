@@ -59,7 +59,11 @@ object Validate {
       /** `--drift <parquetPath>`: baseline snapshot for the pipeline's
         * PSI drift gate; drifted-source counts join the metrics table.
         */
-      drift: Option[String] = None)
+      drift: Option[String] = None,
+      /** `--bucketed <tableName>`: write the split in the bucketed clean
+        * layout (repeat validations plan uniqueness exchange-free).
+        */
+      bucketed: Option[String] = None)
 
   def parseArgs(argv: Array[String]): Args = {
     val m = argv.sliding(2, 2).collect {
@@ -85,7 +89,8 @@ object Validate {
       metrics = m.get("metrics"),
       runId = m.get("runid").map(_.toLong),
       sla = m.get("sla").exists(_.toBoolean),
-      drift = m.get("drift"))
+      drift = m.get("drift"),
+      bucketed = m.get("bucketed"))
   }
 
   final case class RunOutcome(
@@ -174,7 +179,8 @@ object Validate {
       expectations =
         if (args.sla) graft.engine.Expectations.defaultSuite(routing)
         else Nil,
-      driftBaseline = args.drift.map(spark.read.parquet(_)))
+      driftBaseline = args.drift.map(spark.read.parquet(_)),
+      bucketedCleanTable = args.bucketed)
   }
 
   def main(argv: Array[String]): Unit = {

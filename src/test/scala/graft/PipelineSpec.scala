@@ -209,4 +209,28 @@ class PipelineSpec extends SparkSpec {
     assert(m(1L) === 1L)
     assert(m(2L) === 4L)
   }
+
+  test("bucketed clean layout through the lifecycle: same summary, exchange-free") {
+    val routing = RuleSetLoader.parse(routingJson)
+    val tok = TokenTable.tokens(spark, sf0001)
+    val base = tmp("graft_pipe_bk")
+    val tbl = "graft_spec_pipeline_bk"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val plain = Pipeline.run(spark, tok, routing, dims,
+      None, s"$base/m1", 1L, s"$base/q1")
+    val bucketed = Pipeline.run(spark, tok, routing, dims,
+      None, s"$base/m2", 1L, s"$base/q2",
+      bucketedCleanTable = Some(tbl))
+    def summ(r: Pipeline.Result) = r.summary
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getBoolean(3), x.getLong(4), x.getLong(5))).toSet
+    assert(summ(bucketed) === summ(plain),
+      "layout must not change the lifecycle's verdicts")
+    // the adjudicated payoff: a repeat uniqueness validation of the clean
+    // side groups on the bucket key without a corpus-wide exchange
+    val clean = spark.table(tbl).where(col("bucket") === "clean")
+    val agg = clean.groupBy("doc_id").agg(count(lit(1)))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1200))
+  }
 }
