@@ -108,14 +108,44 @@ object DedupOps {
 
   // ---- MinHash + LSH ----------------------------------------------------
 
-  /** Word w-shingles of a text column as an array of strings. */
-  def shingles(text: Column, w: Int): Column = {
-    val ws = TextOps.words(text)
+  /** Word w-shingles of a text column as an array of strings.
+    *
+    * WARNING — O(n²) per document when used directly: `words(text)` lands
+    * INSIDE the per-window lambda, and interpreted HOF lambdas get no
+    * common-subexpression elimination, so the text is re-split once per
+    * shingle (the charTrigrams/winnowSelect trap). Kept only as the
+    * single-expression convenience form; every corpus-scale path must
+    * stage the words array through its own projection and call
+    * [[shinglesOfWords]] (see [[distinctShingles]]).
+    */
+  def shingles(text: Column, w: Int): Column =
+    shinglesOfWords(TextOps.words(text), w)
+
+  /** Word w-shingles from a PRE-MATERIALIZED words array column. `ws`
+    * must be a materialized attribute (stage `TextOps.words` through its
+    * own projection) so the slice inside the lambda reads a bound array —
+    * O(w) per shingle instead of re-splitting the text per shingle.
+    * Identical values to [[shingles]] by construction.
+    */
+  def shinglesOfWords(ws: Column, w: Int): Column =
     when(size(ws) >= w,
       transform(sequence(lit(0), size(ws) - w),
         i => concat_ws(" ", slice(ws, i + 1, lit(w)))))
       .otherwise(array(concat_ws(" ", ws)))
-  }
+
+  /** (doc_id, sh): per-document DISTINCT w-shingle arrays with the words
+    * array staged through its own projection (the multi-reference alias
+    * survives CollapseProject, so split+filter runs once per row — measured
+    * ~5× on the shingle family at sf0.1 vs the inline form).
+    */
+  def distinctShingles(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"), TextOps.words(col("text")).as("_ws"))
+      .select(col("doc_id"),
+        // non-pushable: a downstream explode's inferred filter must CHECK
+        // the materialized attribute, not re-inline the chain into a
+        // scan-stage Filter (TextOps.nonPushableArray)
+        TextOps.nonPushableArray(
+          array_distinct(shinglesOfWords(col("_ws"), w)), "string").as("sh"))
 
   /** k minhash values per doc as k columns `m0..m{k-1}`.
     *
@@ -127,8 +157,8 @@ object DedupOps {
     * CodegenFallback; measured 16× slower interpreted).
     */
   def minHashSignatures(docs: DataFrame, w: Int, k: Int): DataFrame = {
-    val exploded = docs.select(col("doc_id"),
-      explode(array_distinct(shingles(col("text"), w))).as("sh"))
+    val exploded = distinctShingles(docs, w)
+      .select(col("doc_id"), explode(col("sh")).as("sh"))
     val mins = (0 until k).map(i =>
       min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
     exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
@@ -148,33 +178,88 @@ object DedupOps {
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
   }
 
-  /** Candidate pairs (doc_id < doc_id_2) from shared LSH buckets — a
-    * self-join on (band_id, band_key), i.e. one shuffle keyed by bucket,
-    * deduped across bands.
+  /** In-bucket candidate pairs from a collected id (or struct) array:
+    * all (a, b) with b's order key strictly greater than a's. `key`
+    * extracts the comparison key from an element (identity for plain id
+    * arrays). Bucket-local interpreted lambdas over a cap-bounded array —
+    * O(k²) pair structs per bucket BY DESIGN (the self-join formulation
+    * materializes the same pairs as rows but evaluates the whole bucket
+    * SUBTREE — signatures, window — twice; see [[minHashCandidates]]).
+    */
+  private def bucketPairs(ids: Column, key: Column => Column): Column =
+    flatten(transform(ids, a =>
+      transform(filter(ids, b => key(b) > key(a)), b =>
+        struct(a.as("a"), b.as("b")))))
+
+  /** Candidate pairs (doc_id < doc_id_2) from shared LSH buckets.
+    *
+    * Shape (round 7, guide §2.4): ONE pass — group rows by bucket key,
+    * collect the member ids, drop over-cap buckets (same guard semantics
+    * as [[capBuckets]]), and emit in-bucket pairs from the collected
+    * array. The previous self-join formulation referenced the capped-bands
+    * frame twice, so Spark evaluated the ENTIRE signature subtree (shingle
+    * explode + k-minhash aggregate + cap window) once per join side — a
+    * full duplicated corpus pass at scale (measured 3.4 s → ~1.9 s at
+    * sf0.1). The collected array is bounded by `bucketCap`, so the pair
+    * array per bucket is ≤ cap² structs — the same row count the join
+    * produced, without the duplicated upstream.
     */
   def minHashCandidates(
       docs: DataFrame, w: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
       bucketCap: Int = 1000): DataFrame = {
-    val b = capBuckets(minHashBands(docs, w, bands, rowsPerBand),
-      Seq("band_id", "band_key"), bucketCap)
-    val l = b.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
-    val r = b.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
-    l.join(r, Seq("band_id", "band_key"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    log.info(s"LSH bucket cap = $bucketCap on keys band_id,band_key")
+    minHashBands(docs, w, bands, rowsPerBand)
+      .groupBy("band_id", "band_key")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")).between(2, bucketCap))
+      .select(explode(bucketPairs(col("ids"), identity)).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
   }
 
   /** Exact w-shingle Jaccard for given pairs (verify step after LSH). */
   def ngramJaccardPairs(
       docs: DataFrame, pairs: DataFrame, w: Int): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      array_distinct(shingles(col("text"), w)).as("sh"))
+    val sh = distinctShingles(docs, w)
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** EXACT pairwise w-shingle Jaccard over every document pair sharing at
+    * least one shingle — the ground-truth side of recall anchors.
+    *
+    * Shape (round 7, guide §3.3): ONE corpus pass. The previous
+    * formulation was an all-pairs nested-loop join evaluating
+    * `array_intersect`/`array_union` per pair — O(n²·|shingles|) array
+    * ops (8.7 s at 500 docs). Here the inverted index does it: distinct
+    * shingles explode WITH the per-doc shingle count carried alongside,
+    * each shingle's members collect into one bucket, in-bucket pairs are
+    * counted per (doc_a, doc_b) — giving |A∩B| — and
+    * jaccard = inter / (na + nb − inter): the identical integers (hence
+    * identical doubles) as the intersect/union sizes over the distinct
+    * arrays. Pairs sharing NO shingle have jaccard 0 and are not emitted
+    * (every caller thresholds at a positive value). No bucket cap: this
+    * is the exact side by contract — bound the input slice instead.
+    */
+  def exactJaccardPairs(docs: DataFrame, w: Int): DataFrame = {
+    val sh = distinctShingles(docs, w)
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    ex.groupBy("s")
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ids"))
+      .where(size(col("ids")) >= 2)
+      .select(explode(bucketPairs(col("ids"), _.getField("doc_id"))).as("p"))
+      .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.n").as("na"), col("p.b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
           .as("jaccard"))
   }
 
@@ -211,8 +296,14 @@ object DedupOps {
   def simHash(docs: DataFrame,
       wordHash: Column => Column = xxWordHash, bits: Int = 64): DataFrame = {
     require(bits >= 4 && bits <= 64)
-    val exploded = docs.select(col("doc_id"),
-      explode(array_distinct(TextOps.words(col("text")))).as("word"))
+    // distinct words staged non-pushable: the explode's inferred filter
+    // otherwise re-evaluates split+filter+array_distinct per row at the
+    // scan (twice: isnotnull + size>0)
+    val exploded = docs
+      .select(col("doc_id"),
+        TextOps.nonPushableArray(
+          array_distinct(TextOps.words(col("text"))), "string").as("_dws"))
+      .select(col("doc_id"), explode(col("_dws")).as("word"))
       .select(col("doc_id"), wordHash(col("word")).as("h"))
     val bitSums = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
@@ -246,15 +337,18 @@ object DedupOps {
             .as("chunk_key"))): _*)).as("ch"))
       .select(col("doc_id"), col("simhash"),
         col("ch.chunk_id"), col("ch.chunk_key"))
-    val chunks = capBuckets(chunks0, Seq("chunk_id", "chunk_key"), bucketCap)
-    val l = chunks.select(col("chunk_id"), col("chunk_key"),
-      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val r = chunks.select(col("chunk_id"), col("chunk_key"),
-      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    l.join(r, Seq("chunk_id", "chunk_key"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+    // one pass (guide §2.4): collect each chunk bucket's (doc_id, simhash)
+    // members and emit in-bucket pairs — the self-join formulation
+    // evaluated the whole SimHash aggregate once per join side
+    log.info(s"LSH bucket cap = $bucketCap on keys chunk_id,chunk_key")
+    chunks0
+      .groupBy("chunk_id", "chunk_key")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ids"))
+      .where(size(col("ids")).between(2, bucketCap))
+      .select(explode(bucketPairs(col("ids"), _.getField("doc_id"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash")))
+          .as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
@@ -274,11 +368,11 @@ object DedupOps {
   def contaminationCheck(corpus: DataFrame, evalDocs: DataFrame,
       w: Int = 3, minShared: Int = 3, bucketCap: Int = 1000): DataFrame = {
     val evalSh = capBuckets(
-      evalDocs.select(col("doc_id").as("eval_id"),
-        explode(array_distinct(shingles(col("text"), w))).as("sh")),
+      distinctShingles(evalDocs, w)
+        .select(col("doc_id").as("eval_id"), explode(col("sh")).as("sh")),
       Seq("sh"), bucketCap)
-    val corpusSh = corpus.select(col("doc_id"),
-      explode(array_distinct(shingles(col("text"), w))).as("sh"))
+    val corpusSh = distinctShingles(corpus, w)
+      .select(col("doc_id"), explode(col("sh")).as("sh"))
     corpusSh.join(broadcast(evalSh), Seq("sh"))
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(count(lit(1)).as("shared"))
@@ -299,20 +393,33 @@ object DedupOps {
   def winnowDuplicates(docs: DataFrame, kWords: Int = 3, w: Int = 4,
       minShared: Int = 5, bucketCap: Int = 1000,
       gramHash: Column => Column = xxWordHash): DataFrame = {
-    // two-stage projection: the hashed gram array materializes once per
-    // row before the window-min transform references it (see
-    // TextOps.winnowSelect — inline it and every window re-evaluates the
-    // whole hash chain)
-    val hashed = docs.select(col("doc_id"),
-      transform(shingles(col("text"), kWords), g => gramHash(g)).as("hs"))
-    val fps = hashed.select(col("doc_id"),
-      explode(TextOps.winnowSelect(col("hs"), w)).as("fp"))
-    val capped = capBuckets(fps, Seq("fp"), bucketCap)
-    val l = capped.select(col("fp"), col("doc_id").as("doc_a"))
-    val r = capped.select(col("fp"), col("doc_id").as("doc_b"))
-    l.join(r, Seq("fp"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+    // staged projections: words → shingle array → hashed gram array, so
+    // (a) the text is split once per row, not once per shingle (the
+    // interpreted-HOF CSE trap — words staged through its own projection),
+    // and (b) the hashed array materializes once before the window-min
+    // transform references it (see TextOps.winnowSelect)
+    val hashed = docs
+      .select(col("doc_id"), TextOps.words(col("text")).as("_ws"))
+      .select(col("doc_id"),
+        transform(shinglesOfWords(col("_ws"), kWords), g => gramHash(g))
+          .as("hs"))
+    // the selected-fingerprint array is staged non-pushable before the
+    // explode, so the inferred size/notnull filter checks the attribute
+    // instead of re-running the winnow chain below the projection
+    val fps = hashed
+      .select(col("doc_id"),
+        TextOps.nonPushableArray(
+          TextOps.winnowSelect(col("hs"), w), "bigint").as("_sel"))
+      .select(col("doc_id"), explode(col("_sel")).as("fp"))
+    // one pass (guide §2.4): collect each fingerprint bucket's members and
+    // count in-bucket pairs — the inverted-index self-join evaluated the
+    // whole winnow chain (hash transform + window mins) once per side
+    log.info(s"LSH bucket cap = $bucketCap on keys fp")
+    fps.groupBy("fp")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")).between(2, bucketCap))
+      .select(explode(bucketPairs(col("ids"), identity)).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
@@ -353,15 +460,17 @@ object DedupOps {
   def embeddingNearDuplicates(
       embeddings: DataFrame, bands: Int = 8, rowsPerBand: Int = 8,
       threshold: Double = 0.99, bucketCap: Int = 1000): DataFrame = {
-    val banded = capBuckets(embeddingBands(embeddings, bands, rowsPerBand),
-      Seq("band_id", "band_key"), bucketCap)
-    val l = banded.select(col("band_id"), col("band_key"),
-      col("vec_id").as("vec_a"))
-    val r = banded.select(col("band_id"), col("band_key"),
-      col("vec_id").as("vec_b"))
-    val pairs = l.join(r, Seq("band_id", "band_key"))
-      .where(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
+    // one pass (guide §2.4): collect each band bucket's vec_ids and emit
+    // in-bucket pairs — the self-join formulation evaluated the banded
+    // subtree (hyperplane signatures over the full table) once per side
+    log.info(s"LSH bucket cap = $bucketCap on keys band_id,band_key")
+    val pairs = embeddingBands(embeddings, bands, rowsPerBand)
+      .groupBy("band_id", "band_key")
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .where(size(col("ids")).between(2, bucketCap))
+      .select(explode(bucketPairs(col("ids"), identity)).as("p"))
+      .select(col("p.a").as("vec_a"), col("p.b").as("vec_b"))
+      .distinct()
     pairs
       .join(embeddings.select(col("vec_id").as("vec_a"),
         col("embedding").as("emb_a")), Seq("vec_a"))

@@ -20,6 +20,24 @@ object TextOps {
   def words(text: Column): Column =
     filter(split(text, " "), w => w =!= "")
 
+  /** Value-preserving NON-PUSHABLE array: appends a nondeterministic EMPTY
+    * tail (`slice` start touches `spark_partition_id()`), so a filter
+    * referencing the alias cannot be substituted below its projection.
+    *
+    * Why it exists (round 7): `InferFiltersFromGenerate` infers
+    * `isnotnull(x) && size(x) > 0` from every explode, and
+    * `PushDownPredicates` then re-inlines the aliased chain into a
+    * scan-stage Filter — evaluating the staged computation TWICE more per
+    * row, and (for interpreted-HOF chains like shingling) re-inlining the
+    * very O(n²) form the staging exists to prevent. Same trick as the
+    * chunk-staged rule pass ([[graft.engine.Validator]]); with the tail,
+    * the inferred filter stays above the projection as a cheap attribute
+    * check. The tail is empty, so values are bit-identical.
+    */
+  def nonPushableArray(c: Column, elemType: String): Column =
+    concat(c, slice(array().cast(s"array<$elemType>"),
+      spark_partition_id() * 0 + 1, lit(0)))
+
   /** Token counting: whitespace words + a BPE-ish subword estimate
     * (ceil(chars-without-spaces / 4) — the common ~4-chars/token rule).
     */
@@ -154,7 +172,13 @@ object TextOps {
     val prof = profiles.toDF("tri", "plang", "w")
     val tris = docs
       .select(col("doc_id"), lower(col("text")).as("lt"))
-      .select(col("doc_id"), explode(charTrigrams(col("lt"))).as("tri"))
+      // trigram array staged non-pushable: the explode's inferred filter
+      // otherwise substitutes `lt = lower(text)` back INSIDE the per-
+      // trigram lambda at the scan — the O(len²) re-evaluation the `lt`
+      // staging exists to prevent
+      .select(col("doc_id"),
+        nonPushableArray(charTrigrams(col("lt")), "string").as("_tri"))
+      .select(col("doc_id"), explode(col("_tri")).as("tri"))
     val scored = tris.join(broadcast(prof), Seq("tri"))
       .groupBy(col("doc_id"), col("plang"))
       .agg(sum(col("w")).as("score"))
@@ -210,8 +234,13 @@ object TextOps {
       round(when(size(c) > 0,
         lit(1.0) - size(array_distinct(c)).cast("double")
           / size(c).cast("double")).otherwise(0.0), 6)
-    docs.select(col("doc_id"), words(col("text")).as("ws"),
-        DedupOps.shingles(col("text"), 2).as("g2"))
+    // the words array is staged BEFORE the 2-gram transform references it:
+    // DedupOps.shingles(text, 2) inlines words(text) INSIDE the per-window
+    // lambda, re-splitting the text once per 2-gram — O(n²) per document
+    // (measured ~5 s → ~1 s at sf0.1 for this query alone)
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        DedupOps.shinglesOfWords(col("ws"), 2).as("g2"))
       .select(col("doc_id"),
         size(col("ws")).as("n_words"),
         dupFrac(col("ws")).as("dup_word_frac"),
