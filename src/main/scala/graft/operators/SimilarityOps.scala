@@ -60,9 +60,18 @@ object SimilarityOps {
     (xxhash64(plane, j).cast("double") / lit(Long.MaxValue.toDouble))
 
   /** Sign-bit signature of `v` against `nPlanes` hyperplanes, packed into a
-    * long. Codegen'd higher-order expressions; no UDF, no RNG.
+    * long — the native whole-stage-codegen expression
+    * ([[graft.functions.HyperplaneSig]]); bit-identical to
+    * [[hyperplaneSignatureHof]] (SimilarityOpsSpec pins it), which cost
+    * `nPlanes` interpreted lambda chains per row (guide §4).
     */
-  def hyperplaneSignature(v: Column, nPlanes: Int): Column = {
+  def hyperplaneSignature(v: Column, nPlanes: Int): Column =
+    graft.functions.HyperplaneSig(v, nPlanes)
+
+  /** The higher-order-function formulation (CodegenFallback) — kept as the
+    * reference semantics the native expression is tested against.
+    */
+  def hyperplaneSignatureHof(v: Column, nPlanes: Int): Column = {
     val vd = v.cast("array<double>")
     val bits = (0 until nPlanes).map { p =>
       val proj = aggregate(
