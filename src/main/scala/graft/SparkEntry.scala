@@ -834,13 +834,11 @@ object Queries {
     */
   def dMinhashRecall(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).where(col("doc_id") < 500)
-    val sh = d.select(col("doc_id"),
-      array_distinct(DedupOps.shingles(col("text"), 3)).as("sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val exact = a.join(b, col("doc_a") < col("doc_b"))
-      .where(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.5)
+    // exact side via the inverted index (guide §3.3): identical jaccard
+    // arithmetic to the old all-pairs array_intersect/array_union form,
+    // ONE corpus pass instead of a 125k-pair nested loop (8.7 s → ~2 s)
+    val exact = DedupOps.exactJaccardPairs(d, 3)
+      .where(col("jaccard") >= 0.5)
     val found = DedupOps.minHashDuplicates(d, threshold = 0.5)
     exact.agg(count(lit(1)).as("n_exact_pairs"))
       .crossJoin(found.agg(count(lit(1)).as("nf")))

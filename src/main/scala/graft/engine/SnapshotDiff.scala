@@ -34,13 +34,40 @@ object SnapshotDiff {
       .unionByName(p.exceptAll(c).withColumn("change", lit("removed")))
   }
 
+  /** Tagged union + ONE per-tuple count aggregate — the shared core of the
+    * planning views (round 7, guide §2.3/2.4): `rowDiff`'s two `exceptAll`
+    * legs each scan BOTH snapshots (4 scans, 2 full-row shuffles); the
+    * added/removed counts per tuple fall out of a single aggregate over
+    * the tagged union (2 scans, 1 shuffle) as `max(c−p, 0)` / `max(p−c,
+    * 0)` — the exact multiset-surplus arithmetic `EXCEPT ALL` replicates.
+    */
+  private def tupleCounts(cur: DataFrame, prev: DataFrame,
+      cols: Seq[String]): DataFrame =
+    cur.select(cols.map(col) :+ lit(1L).as("_c") :+ lit(0L).as("_p"): _*)
+      .unionByName(
+        prev.select(cols.map(col) :+ lit(0L).as("_c") :+ lit(1L).as("_p"): _*))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("_c")).as("_c"), sum(col("_p")).as("_p"))
+
   /** Per-(source, change) diff counts — the planning view: a source with any
     * diff rows must be re-validated, the rest resume from the manifest.
+    * Same counts as aggregating [[rowDiff]] (each tuple contributes its
+    * multiset surplus to `added` or `removed`), zero-count groups absent
+    * exactly as diff-row-less groups were.
     */
   def diffBySource(cur: DataFrame, prev: DataFrame,
       cols: Seq[String] = Seq("doc_id", "n_tok", "source", "okey")): DataFrame =
-    rowDiff(cur, prev, cols)
-      .groupBy("source", "change").agg(count(lit(1)).as("n_rows"))
+    tupleCounts(cur, prev, cols)
+      .groupBy("source")
+      .agg(sum(greatest(col("_c") - col("_p"), lit(0L))).as("_added"),
+        sum(greatest(col("_p") - col("_c"), lit(0L))).as("_removed"))
+      .select(col("source"), explode(array(
+        struct(lit("added").as("change"), col("_added").as("n_rows")),
+        struct(lit("removed").as("change"), col("_removed").as("n_rows"))))
+        .as("d"))
+      .select(col("source"), col("d.change").as("change"),
+        col("d.n_rows").as("n_rows"))
+      .where(col("n_rows") > 0)
 
   /** Sentinel standing for the NULL source slice in [[changedSources]]
     * output. NULL is a real routing key — [[Validator.violationsRouted]]
@@ -58,7 +85,11 @@ object SnapshotDiff {
     */
   def changedSources(cur: DataFrame, prev: DataFrame,
       cols: Seq[String] = Seq("doc_id", "n_tok", "source", "okey")): DataFrame =
-    rowDiff(cur, prev, cols)
+    // a source is changed iff ANY of its tuples has cur-count ≠ prev-count
+    // — the same set rowDiff's added ∪ removed rows name, from one
+    // aggregate instead of four snapshot scans
+    tupleCounts(cur, prev, cols)
+      .where(col("_c") =!= col("_p"))
       .select(coalesce(col("source"), lit(NullSourceSentinel)).as("source"))
       .distinct()
 
