@@ -114,7 +114,12 @@ object StreamingDedup {
     */
   def runDedupAvailableNow(
       spark: SparkSession, path: String,
-      maxFilesPerTrigger: Int = 4): DataFrame = withRocksDBState(spark) {
+      maxFilesPerTrigger: Int = 8): DataFrame = withRocksDBState(spark) {
+    // 8 files/trigger (round 7): the docs cache is 16 files, so this is
+    // TWO micro-batches — duplicate groups still span batches (the
+    // cross-batch state gates; the survivor set is batching-independent by
+    // contract) at half the per-batch RocksDB load/commit overhead of the
+    // old 4 (4 batches; measured ~5 → ~3.5 s at sf0.1)
     // RocksDB state store ADOPTED for the exact-dedup registry query
     // (round-6): the interleaved A/B (Explain --statestore, BASELINE.md)
     // pinned identical survivor sets, throughput within noise, and 3.7×
@@ -160,8 +165,12 @@ object StreamingDedup {
     */
   def runEventDedupAvailableNow(
       spark: SparkSession, path: String, delay: String = "3650 days",
-      maxFilesPerTrigger: Int = 4): DataFrame = withRocksDBState(spark) {
+      maxFilesPerTrigger: Int = 8): DataFrame = withRocksDBState(spark) {
     // RocksDB adopted here too (same A/B evidence as runDedupAvailableNow)
+    // 8 files/trigger (round 7): the events cache is 16 files → TWO
+    // micro-batches instead of four — duplicate pairs still span batches,
+    // half the per-batch state-commit overhead (same reasoning as
+    // runDedupAvailableNow; survivor set is batching-independent)
     val schema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", TimestampType),

@@ -120,6 +120,35 @@ class DedupOpsSpec extends SparkSpec {
     assert(j((1L, 4L)) === 0.0)
   }
 
+  test("exactJaccardPairs equals the array intersect/union form (round 7)") {
+    // the inverted-index exact side must reproduce the
+    // array_intersect/array_union jaccard bit for bit on every pair that
+    // shares ≥1 shingle (pairs sharing none have jaccard 0 by definition
+    // and are not emitted)
+    val d = docs.where($"doc_id" < 40)
+    val inv = DedupOps.exactJaccardPairs(d, 3)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val sh = d.select($"doc_id",
+      org.apache.spark.sql.functions.array_distinct(
+        DedupOps.shingles($"text", 3)).as("sh"))
+    val a = sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
+    val b = sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    val ref = a.join(b, $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        (org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.array_intersect($"sh_a", $"sh_b"))
+          .cast("double") /
+          org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.array_union($"sh_a", $"sh_b"))
+            .cast("double")).as("j"))
+      .as[(Long, Long, Double)].collect()
+    ref.foreach { case (da, db, j) =>
+      if (j > 0.0) assert(inv((da, db)) === j, s"pair ($da,$db)")
+      else assert(!inv.contains((da, db)), s"pair ($da,$db) should be absent")
+    }
+  }
+
   test("winnowing: identical docs share all fingerprints, disjoint none") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again ok"),
@@ -446,6 +475,31 @@ class SimilarityOpsSpec extends SparkSpec {
         |FROM cosspec_vecs WHERE vec_id = 3""".stripMargin)
       .head().getDouble(0)
     assert(math.abs(viaSql - 1.0) < 1e-12)
+  }
+
+  test("native HyperplaneSig is bit-identical to the HOF formulation") {
+    // real embeddings + synthetic vectors (negatives, tiny values) so every
+    // sign-bit path is exercised; equality must be EXACT (longs) — the LSH
+    // candidate sets downstream depend on identical signatures
+    val vecs = (0 until 300).map { r =>
+      (r.toLong, Array.tabulate(48)(j => math.sin(r * 29 + j * 11) * 0.5))
+    }.toDF("vec_id", "embedding")
+    Seq(8, 64).foreach { nPlanes =>
+      val both = vecs.select(
+          SimilarityOps.hyperplaneSignature(col("embedding"), nPlanes)
+            .as("native"),
+          SimilarityOps.hyperplaneSignatureHof(col("embedding"), nPlanes)
+            .as("hof"))
+        .collect()
+      both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    }
+    // fixture embeddings too (the shapes the registry queries hash)
+    val fix = embs.select(
+        SimilarityOps.hyperplaneSignature(col("embedding"), 64).as("native"),
+        SimilarityOps.hyperplaneSignatureHof(col("embedding"), 64).as("hof"))
+      .collect()
+    assert(fix.nonEmpty)
+    fix.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
   test("cosine is exact on unit vectors") {

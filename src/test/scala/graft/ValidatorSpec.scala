@@ -326,6 +326,31 @@ class ValidatorSpec extends SparkSpec {
     assert(changed === Set("A", "N"))
   }
 
+  test("one-pass diffBySource equals aggregating rowDiff (round-7 shape)") {
+    // diffBySource/changedSources now run ONE tagged-union aggregate
+    // instead of two exceptAll legs (4 snapshot scans); the counts must be
+    // the exceptAll multiset surplus exactly, including zero-count group
+    // absence and the all-equal case
+    import graft.engine.SnapshotDiff
+    val cols = Seq("doc_id", "n_tok", "source")
+    val cur = Seq(
+      ("d1", 1, "A"), ("d1", 1, "A"), ("d1", 1, "A"), // three copies
+      ("d2", 2, "A"), ("d4", 4, "N"), ("d5", 5, "R")).toDF(cols: _*)
+    val prev = Seq(
+      ("d1", 1, "A"),                                  // one copy before
+      ("d3", 3, "N"), ("d4", 4, "N"), ("d5", 5, "R")).toDF(cols: _*)
+    val got = SnapshotDiff.diffBySource(cur, prev, cols)
+      .as[(String, String, Long)].collect().toSet
+    val viaRowDiff = SnapshotDiff.rowDiff(cur, prev, cols)
+      .groupBy("source", "change").agg(count(lit(1)).as("n_rows"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got === viaRowDiff)
+    assert(got === Set(("A", "added", 3L), ("N", "removed", 1L)))
+    // identical snapshots: no diff groups at all
+    assert(SnapshotDiff.diffBySource(prev, prev, cols).count() === 0L)
+    assert(SnapshotDiff.changedSources(prev, prev, cols).count() === 0L)
+  }
+
   test("a changed NULL-source row flags its slice for re-validation") {
     // ADVICE r5: the old form dropped null-source diff rows entirely — a
     // changed row silently escaping validation, the engine's core failure
