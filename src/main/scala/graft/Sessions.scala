@@ -30,6 +30,15 @@ object Sessions {
       // cluster scale)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES", "8m"))
+      // partitioned-index reads (the ~2k-leaf banded-LSH layout) spend
+      // ~3.6 s in partition discovery with the default threshold of 32:
+      // Spark launches a DISTRIBUTED listing job with one task per
+      // directory (2k tiny tasks ≈ 2 ms each), while the driver's own
+      // listing pool walks the same local directories in ~0.1 s. Up to
+      // this many paths the driver lists; a 100 TB object-store table
+      // with far more partitions still distributes (override via env).
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_THRESHOLD", "8192"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // engine SQL functions (kll_quantiles) — the same line a cluster

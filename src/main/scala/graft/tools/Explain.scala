@@ -315,6 +315,26 @@ object Explain {
       timed("r6_pii2")(pii.agg(sum("n_emails"), sum("n_ips"))
         .collect().head.getLong(0))
     }
+    if (args.contains("--lshprobe")) {
+      // round-7: where does the e_ann_lsh_idx probe's stable ~4.5 s go?
+      // candidates: partition discovery over ~2 k (band_id, band_key)
+      // leaf dirs, the 1-row signature job, the probed scan itself.
+      import graft.operators.{SimilarityOps, VectorIndex}
+      val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val qv = embs.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .first().getSeq[Double](0).toSeq
+      val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "_aug"
+      val idx = s"${sys.env.getOrElse("GRAFT_VEC_INDEX", "/tmp/graft_vec_index")}/lsh_${tag}_b8x8/index"
+      (1 to 2).foreach { r =>
+        timed(s"lsh_sigjob_$r")({
+          VectorIndex.lshProbeKeys(spark, qv, 8, 8); 1L })
+        timed(s"lsh_listing_$r")({
+          spark.read.parquet(idx).schema; 1L })
+        timed(s"lsh_probe_$r")(
+          VectorIndex.lshTopK(spark, idx, qv, 3, 8, 8).count())
+      }
+    }
     if (args.contains("--registry")) {
       // interleaved same-JVM A/B of the registry queries the r4 bench
       // artifact flagged (r_report_* 4-20× slower) against stable v_*
