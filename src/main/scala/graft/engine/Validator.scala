@@ -147,21 +147,38 @@ object Validator {
     * broadcast anti-join; truly large dimensions belong to
     * [[referentialViolationsBigDim]].
     */
-  def referentialViolations(
-      df: DataFrame, rule: ReferentialRule, dim: DataFrame): DataFrame = {
+  /** The dimension's non-null value list when it is small enough to
+    * compile into a static predicate; None → anti-join territory. Null dim
+    * entries are dropped: a NULL in the isin literal list makes `!isin`
+    * NULL for every non-member (silently disarming the rule), while a null
+    * dim entry can never whitelist anything under the anti-join semantics
+    * the predicate replaces.
+    */
+  private def smallDimValues(dim: DataFrame): Option[Seq[Any]] = {
     val dimCol = dim.columns.head
-    // drop null dim entries: a NULL in the isin literal list makes `!isin`
-    // NULL for every non-member (silently disarming the rule), while a null
-    // dim entry can never whitelist anything under the anti-join semantics
-    // this predicate replaces
     val values = dim.select(dimCol).limit(SmallDimMaxValues + 1)
       .collect().map(_.get(0)).filter(_ != null)
-    val base =
-      if (values.length <= SmallDimMaxValues)
+    if (values.length <= SmallDimMaxValues) Some(values.toSeq) else None
+  }
+
+  /** The small-dim membership check as a fusable ROW rule (round 7): the
+    * compiled predicate+detail are identical to [[referentialViolations]]'s
+    * small-dim leg, but riding the shared single-scan row pass saves one
+    * corpus scan per referential rule in every composed violations plan.
+    */
+  private def valueSetRule(rule: ReferentialRule, values: Seq[Any]): Rule =
+    ValueSetRule(rule.id, rule.column, values, rule.dimension, rule.severity)
+
+  def referentialViolations(
+      df: DataFrame, rule: ReferentialRule, dim: DataFrame): DataFrame = {
+    val base = smallDimValues(dim) match {
+      case Some(values) =>
         df.where(col(rule.column).isNull ||
-          !col(rule.column).isin(values.toSeq: _*))
-      else
+          !col(rule.column).isin(values: _*))
+      case None =>
+        val dimCol = dim.columns.head
         df.join(broadcast(dim), df(rule.column) === dim(dimCol), "left_anti")
+    }
     base.select(col("doc_id"), lit(rule.id).as("rule_id"),
       concat(lit(s"${rule.column}='"), col(rule.column),
         lit(s"' not in ${rule.dimension}")).as("detail"),
@@ -229,14 +246,33 @@ object Validator {
 
   /** Full rule-set pass → detailed violations
     * (doc_id, rule_id, detail, severity, source).
+    *
+    * Round 7: small-dimension referential rules compile into the SAME
+    * single-scan row pass (guide §2.4 — each previously paid its own
+    * corpus scan as a union branch; the value set was already collected
+    * at plan time either way). Large dimensions keep the anti-join leg.
     */
+  /** The rule set's row rules with every small-dimension referential rule
+    * fused in as a [[graft.rules.ValueSetRule]], plus the big-dimension
+    * referential rules left for the anti-join leg — the shared split
+    * behind [[violations]] and the one-pass subset diff
+    * ([[graft.report.ReportOps.diffReportSubset]]).
+    */
+  def fusedRowRules(ruleSet: RuleSet, dims: Map[String, DataFrame])
+      : (Seq[Rule], Seq[ReferentialRule]) = {
+    val resolved = ruleSet.referentialRules
+      .map(r => r -> smallDimValues(dims(r.dimension)))
+    (ruleSet.rowRules ++ resolved.collect {
+      case (r, Some(values)) => valueSetRule(r, values)
+    }, resolved.collect { case (r, None) => r })
+  }
+
   def violations(
       df: DataFrame, ruleSet: RuleSet,
       dims: Map[String, DataFrame]): DataFrame = {
-    val row = rowViolations(df, ruleSet.rowRules)
-    val refs = ruleSet.referentialRules.map { r =>
-      referentialViolations(df, r, dims(r.dimension))
-    }
+    val (fusedRow, bigRefs) = fusedRowRules(ruleSet, dims)
+    val row = rowViolations(df, fusedRow)
+    val refs = bigRefs.map(r => referentialViolations(df, r, dims(r.dimension)))
     val uniq = ruleSet.uniqueRules.map(uniqueViolations(df, _))
     (Seq(row) ++ refs ++ uniq).reduce(_ unionByName _)
   }
@@ -290,21 +326,32 @@ object Validator {
       .filter { case (name, _) =>
         name == routing.defaultRuleSet || routedTo.contains(name)
       }
-    val gatedRows = sets.flatMap { case (name, rs) =>
-      rs.rowRules.map(r => (r, gateFor(name)))
+    // small-dim referential rules ride the shared row-rule scan with the
+    // set's gate as their predicate gate (round 7 — previously one corpus
+    // scan per (set, referential rule) as a union branch); large dims keep
+    // the per-slice anti-join
+    val resolvedRefs = sets.map { case (name, rs) =>
+      (name, rs, rs.referentialRules
+        .map(r => r -> smallDimValues(dims(r.dimension))))
+    }
+    val gatedRows = resolvedRefs.flatMap { case (name, rs, refs) =>
+      rs.rowRules.map(r => (r, gateFor(name))) ++
+        refs.collect { case (r, Some(values)) =>
+          (valueSetRule(r, values), gateFor(name))
+        }
     }
     val rowPart = rowViolationsGated(df, gatedRows)
-    val slices = sets.map { case (name, rs) =>
-      (rs, gateFor(name).map(df.where).getOrElse(df))
+    val bigRefs = resolvedRefs.flatMap { case (name, _, refs) =>
+      refs.collect { case (r, None) =>
+        referentialViolations(
+          gateFor(name).map(df.where).getOrElse(df), r, dims(r.dimension))
+      }
     }
-    val refs = slices.flatMap { case (rs, slice) =>
-      rs.referentialRules.map(r =>
-        referentialViolations(slice, r, dims(r.dimension)))
-    }
-    val uniq = slices.flatMap { case (rs, slice) =>
+    val uniq = sets.flatMap { case (name, rs) =>
+      val slice = gateFor(name).map(df.where).getOrElse(df)
       rs.uniqueRules.map(uniqueViolations(slice, _))
     }
-    (Seq(rowPart) ++ refs ++ uniq).reduce(_ unionByName _)
+    (Seq(rowPart) ++ bigRefs ++ uniq).reduce(_ unionByName _)
   }
 
   /** Routed dispatch at HIGH rule-set cardinality — the reference's actual
@@ -495,6 +542,14 @@ object Validator {
     (Seq(rowPart) ++ uniqParts ++ refParts ++ defaultUniq ++ defaultRefs)
       .reduce(_ unionByName _)
   }
+
+  /** Row-rule union order note (round 7): fusing small-dim referential
+    * rules into the row pass changes the ORDER violations appear in the
+    * returned frame (they now interleave with row-rule hits instead of
+    * following them as a union branch); every consumer aggregates or
+    * applies a deterministic sort, so outputs are unchanged (multiset
+    * identity pinned by the oracle on every registry query).
+    */
 
   /** Explicit salted two-phase uniqueness (north-star: "salted repartition
     * on skewed sources"). Phase 1 aggregates on (key, salt) — a hot key's

@@ -181,10 +181,14 @@ object ReportOps {
     import graft.engine.Validator
     val tagged = tok.withColumn("doc_id",
       concat(col("doc_id"), when(baseFlag, lit("#1")).otherwise(lit("#0"))))
+    // small-dim referential rules ride the single row-rule scan here too
+    // (round 7, same fusion as Validator.violations) — the diff's scan
+    // budget stays equal to the violations plan's own (PlanAudit)
+    val (fusedRow, bigRefs) = Validator.fusedRowRules(ruleSet, dims)
     val rowRefParts =
-      (if (ruleSet.rowRules.nonEmpty)
-        Seq(Validator.rowViolations(tagged, ruleSet.rowRules)) else Nil) ++
-      ruleSet.referentialRules.map(r =>
+      (if (fusedRow.nonEmpty)
+        Seq(Validator.rowViolations(tagged, fusedRow)) else Nil) ++
+      bigRefs.map(r =>
         Validator.referentialViolations(tagged, r, dims(r.dimension)))
     val rr = rowRefParts.reduceOption(_ unionByName _).map {
       _.select(col("doc_id").as("_tag"), col("rule_id"), col("source"))

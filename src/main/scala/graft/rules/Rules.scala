@@ -91,10 +91,25 @@ final case class ConditionalRule(
 
 /** Value-set membership (reference "not in the value set",
   * test_profiles.py:183-192): `column` must appear in the dimension named
-  * `dimension` (resolved by the engine, broadcast anti-join).
+  * `dimension` (resolved by the engine — a small dimension compiles to a
+  * static predicate fused into the row pass, a large one to an anti-join).
   */
 final case class ReferentialRule(
     id: String, column: String, dimension: String,
+    severity: String = "error", appliesTo: Option[String] = None) extends Rule
+
+/** A [[ReferentialRule]] whose small dimension has been RESOLVED to its
+  * literal value list (engine-internal, round 7): compiles to the same
+  * null-is-violation `NOT IN` predicate the standalone membership check
+  * uses, but as a ROW rule — so it rides the single-scan codegen pass
+  * with every other row rule instead of paying its own scan of the corpus
+  * per referential rule. Not part of the user-facing config vocabulary
+  * (the loader never produces it), and deliberately NOT in
+  * [[RuleSet.rowRules]]: only [[graft.engine.Validator]] constructs it,
+  * from an already-collected dimension.
+  */
+final case class ValueSetRule(
+    id: String, column: String, values: Seq[Any], dimension: String,
     severity: String = "error", appliesTo: Option[String] = None) extends Rule
 
 /** Uniqueness of a key column (north-star rule over doc_id), or of a
@@ -205,6 +220,14 @@ object RuleCompiler {
       CompiledRowRule(id, sev,
         gate(rule, col(whenCol) === lit(whenVal) && compiled.violated),
         concat(lit(s"when $whenCol='$whenVal': "), compiled.detail))
+    case ValueSetRule(id, c, values, dimName, sev, _) =>
+      // identical predicate AND detail to the standalone membership check
+      // (Validator.referentialViolations): NULL keys are violations, and a
+      // NULL key's concat-detail is NULL — byte-for-byte the anti-join
+      // form's output, now evaluated in the shared row-rule scan
+      CompiledRowRule(id, sev,
+        gate(rule, col(c).isNull || !col(c).isin(values: _*)),
+        concat(lit(s"$c='"), col(c), lit(s"' not in $dimName")))
     case other =>
       throw new IllegalArgumentException(s"not a row-level rule: $other")
   }
