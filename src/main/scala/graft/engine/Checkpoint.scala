@@ -55,6 +55,26 @@ object Checkpoint {
     math.max(System.currentTimeMillis(), maxExisting + 1)
   }
 
+  /** Completed partitions AND the next generation stamp from ONE manifest
+    * read (round 7): the resumable runner needed both and paid two
+    * separate tiny read+collect jobs per leg; the manifest is partition ×
+    * generation cardinality — driver-small by design — so one collect
+    * serves both. Semantics identical to
+    * [[completedPartitions]] + [[nextRunTs]].
+    */
+  def snapshotState(spark: SparkSession, manifestPath: String,
+      snapshotId: Long): (Seq[String], Long) = {
+    val rows = read(spark, manifestPath)
+      .select(col("partition"), col("snapshot_id"), col("status"),
+        col("run_ts"))
+      .collect()
+    val done = rows.iterator
+      .filter(r => r.getLong(1) == snapshotId && r.getString(2) == "ok")
+      .map(_.getString(0)).toSeq.distinct
+    val maxTs = if (rows.isEmpty) 0L else rows.iterator.map(_.getLong(3)).max
+    (done, math.max(System.currentTimeMillis(), maxTs + 1))
+  }
+
   /** Append entries, stamping the generation (`run_ts`) so later
     * reconstruction can pick the newest entry per partition
     * deterministically across append generations (pass `runTs` to share one
@@ -151,7 +171,9 @@ object ValidationRunner {
       .map(r => Option(r.getString(0))
         .getOrElse(SnapshotDiff.NullSourceSentinel))
       .toSeq.sorted
-    val done = Checkpoint.completedPartitions(spark, manifestPath, snapshotId)
+    // one manifest read serves both the resume set and the generation
+    // stamp (round 7 — was two separate read+collect jobs per leg)
+    val (done, runTs) = Checkpoint.snapshotState(spark, manifestPath, snapshotId)
     val pending = all.filterNot(done.toSet)
 
     if (pending.isEmpty) {
@@ -163,8 +185,6 @@ object ValidationRunner {
       return RunResult(Nil, all,
         Checkpoint.summaryAt(spark, manifestPath, snapshotId))
     }
-
-    val runTs = Checkpoint.nextRunTs(spark, manifestPath)
 
     // fast path: one job over all pending partitions (not a per-partition
     // loop) — the filter prunes partitions at the scan when stored by source.
